@@ -305,6 +305,22 @@ case class HausdorffDistance(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** Max distance (km) from any vertex of `left` to polyline `right` —
+  * small iff `left` lies along `right` (one-sided containment score). */
+case class DirectedHausdorff(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "directed_hausdorff_km"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoFn.directedHausdorffKm(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoFn.directedHausdorffKm($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): DirectedHausdorff =
+    copy(l, r)
+}
+
 case class TileX(lon: Expression, zoom: Expression)
     extends BinaryExpression {
   override def left: Expression = lon

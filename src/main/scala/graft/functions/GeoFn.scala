@@ -85,6 +85,9 @@ object GeoFn {
 
   def hausdorffKm(a: ArrayData, b: ArrayData): Double = Geo.hausdorffKm(toLine(a), toLine(b))
 
+  def directedHausdorffKm(a: ArrayData, b: ArrayData): Double =
+    Geo.directedHausdorffKm(toLine(a), toLine(b))
+
   def tileX(lon: Double, zoom: Int): Long = Cell.tile(lon, 0.0, zoom)._2
 
   def tileY(lat: Double, zoom: Int): Long = Cell.tile(0.0, lat, zoom)._3

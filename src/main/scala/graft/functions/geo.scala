@@ -58,6 +58,9 @@ object geo {
 
   def hausdorff_km(a: Column, b: Column): Column = toCol(HausdorffDistance(toExpr(a), toExpr(b)))
 
+  def directed_hausdorff_km(a: Column, b: Column): Column =
+    toCol(DirectedHausdorff(toExpr(a), toExpr(b)))
+
   def tile_x(lon: Column, zoom: Column): Column = toCol(TileX(toExpr(lon), toExpr(zoom)))
 
   def tile_y(lat: Column, zoom: Column): Column = toCol(TileY(toExpr(lat), toExpr(zoom)))
@@ -86,6 +89,7 @@ object geo {
     r("point_in_ring") { case Seq(a, b, c) => PointInRing(a, b, c) }
     r("frechet_km") { case Seq(a, b) => FrechetDistance(a, b) }
     r("hausdorff_km") { case Seq(a, b) => HausdorffDistance(a, b) }
+    r("directed_hausdorff_km") { case Seq(a, b) => DirectedHausdorff(a, b) }
     r("tile_x") { case Seq(a, b) => TileX(a, b) }
     r("tile_y") { case Seq(a, b) => TileY(a, b) }
   }

@@ -20,6 +20,8 @@ case class WebPage(
   * property convention, src/loaders/npmrds/loadTargetMapFeaturesIntoWorkDatabase.js:92-106). */
 case class TargetMapFeature(
     id: String,
+    url: String,
+    text: String,
     targetMap: String,
     regionCode: String,
     countyCode: String,

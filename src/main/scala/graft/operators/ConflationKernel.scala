@@ -18,8 +18,11 @@ import scala.collection.mutable.ArrayBuffer
  *    when EXACTLY 0 (truthiness bug, getOffsetsAlongShstRefForTargetMapSegments.js:100-109)
  *  - snapShstMatchNodes computes a snapped start but returns
  *    startDist = raw POFF (snapping applied to end only, snapShstMatchNodes.js:157-162)
- *  - splitter's per-target-map assignment uses 6-dp-rounded interval ends
- *    against unrounded segment bounds (partitionShstReferenceByTargetMapsMatches/index.js:149-168)
+ *  - splitter's per-target-map assignment can use 6-dp-rounded interval ends
+ *    against unrounded segment bounds (partitionShstReferenceByTargetMapsMatches/
+ *    index.js:149-168) — behind `parityRound6` (default OFF: the round-up case
+ *    silently drops a feature's own first segment, which breaks the QA
+ *    length-conservation gate; a pinned test documents both behaviors)
  *  - segmentIndex is 1-based; totalSegments = |splitters| - 1 (:126-129)
  */
 object ConflationKernel {
@@ -222,7 +225,8 @@ object ConflationKernel {
    * (partitionShstReferenceByTargetMapsMatches/index.js:38-193).
    */
   def split(refCoords: Array[Array[Double]], refLenKm: Double,
-      vertices: Vector[RefVertex], intervals: Seq[Interval]): Vector[SplitSegment] = {
+      vertices: Vector[RefVertex], intervals: Seq[Interval],
+      parityRound6: Boolean = false): Vector[SplitSegment] = {
     if (intervals.isEmpty) return Vector.empty
     val splitters: Vector[Double] =
       (Vector(0.0, refLenKm) ++ intervals.flatMap(iv => Seq(iv.startDist, iv.endDist)))
@@ -257,10 +261,16 @@ object ConflationKernel {
         nodeIds.toVector, coords.toVector, Vector.empty)
       i += 1
     }
-    // per-target-map interval → segment assignment (6-dp-rounded ends, §5.1)
+    // Per-target-map interval → segment assignment. The reference rounds the
+    // interval ends to 6 dp but compares against UNROUNDED segment bounds
+    // (partitionShstReferenceByTargetMapsMatches/index.js:150-168); when the
+    // rounding goes up, an interval loses its own first segment and its
+    // predecessor leaks in. That observed quirk is available behind
+    // `parityRound6`; the default uses exact bounds (QA-correct).
     segs.zipWithIndex.foreach { case (seg, idx) =>
       val assigned = intervals.filter { iv =>
-        val s = round6(iv.startDist); val e = round6(iv.endDist)
+        val s = if (parityRound6) round6(iv.startDist) else iv.startDist
+        val e = if (parityRound6) round6(iv.endDist) else iv.endDist
         s <= seg.startDist && s < seg.endDist && e > seg.startDist
       }
       // reference overwrites on duplicate targetMap (logs + last-writer-wins)
@@ -277,7 +287,8 @@ object ConflationKernel {
       refCoords: Array[Array[Double]],
       waySectionNodeIds: Seq[Seq[String]],
       matchesByTargetMap: Seq[(String, Seq[(Interval, Array[Array[Double]])])],
-      parityInputOrder: Boolean = true): Vector[SplitSegment] = {
+      parityInputOrder: Boolean = true,
+      parityRound6: Boolean = false): Vector[SplitSegment] = {
     val refLen = Geo.lengthKm(refCoords)
     val nodeSeq = osmNodeIdsSeq(waySectionNodeIds)
     val vertsOpt = vertexSeq(refCoords, nodeSeq)
@@ -295,6 +306,6 @@ object ConflationKernel {
       else removeOverlaps(offsets, SplitBuffKm, parityInputOrder)
     }
     if (perTm.isEmpty) Vector.empty
-    else split(refCoords, refLen, verts, perTm)
+    else split(refCoords, refLen, verts, perTm, parityRound6)
   }
 }

@@ -1,0 +1,302 @@
+package graft.operators
+
+import graft.functions.geo._
+import graft.geo.Geo
+import graft.model._
+import graft.synth.Synth
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * The Spark-native conflation pipeline (SURVEY.md §7.1), end to end:
+ *
+ *   pages ─geocode→ features ─cell-keyed candidate join→ scored matches
+ *     ─per-reference kernel (flatMap after a single-shuffle collect_list join)→
+ *   conflation segments ─window/global-id→ output + tiles + QA
+ *
+ * Scale posture:
+ *  - ONE shuffle keys the central join (J2) on shst_reference_id; the
+ *    per-reference kernel then runs as a map over the joined rows (groups
+ *    are one road segment + its matches — tiny, bounded).
+ *  - Candidate generation is an equi-join on spatial cell ids (the H3/S2
+ *    analog) — no cross product, prunable, saltable on hot cells.
+ *  - Global ordered ids use range-partitioned sort + per-partition offsets,
+ *    never a single-partition window.
+ */
+object ConflationPipeline {
+
+  /** Candidate-join cell level: ~430 m × 300 m cells at this latitude. */
+  val CellLevel = 16
+  /** Max symmetric Hausdorff (km) between match slice and feature. */
+  val MatchHausdorffKm = 0.025
+  /** Minimum overlap interval length (km) for a candidate match. */
+  val MinOverlapKm = ConflationKernel.SplitBuffKm
+
+  // ---------------------------------------------------------------- inputs
+
+  /** Distributed deterministic pages table: generated per-index on executors
+    * (no driver materialization, no data shipping). */
+  def pages(spark: SparkSession, n: Long, nRoads: Int): Dataset[WebPage] = {
+    import spark.implicits._
+    spark.range(n).map(i => Synth.page(i, nRoads))
+  }
+
+  /** Graft geocoder: page → target-map feature; `text` carried byte-identical.
+    * Distinct pages may geocode to the same feature id; dedupe is
+    * first-writer-wins like the reference's PK-conflict swallowing
+    * (SURVEY §5.1.8) — deterministically, the lexicographically-first url. */
+  def features(pagesDs: Dataset[WebPage], nRoads: Int): Dataset[TargetMapFeature] = {
+    import pagesDs.sparkSession.implicits._
+    pagesDs.map(p => Synth.geocode(p.url, p.text, nRoads))
+      .groupByKey(_.id)
+      .reduceGroups((a, b) => if (a.url <= b.url) a else b)
+      .map(_._2)
+  }
+
+  /** Synthetic SharedStreets-style reference network, generated distributed. */
+  def references(spark: SparkSession, nRoads: Int): Dataset[ShstReference] = {
+    import spark.implicits._
+    spark.range(nRoads).flatMap(r => Synth.shstReferencesForRoad(r.toInt))
+  }
+
+  // ------------------------------------------------------------- matching
+
+  /**
+   * Cell-keyed candidate join + similarity refinement (replaces the external
+   * shst-match CLI, SURVEY G9/G10): explode both sides to covering cells at
+   * CellLevel, equi-join, distinct pair, then refine with linear-reference
+   * projection + symmetric Hausdorff + interval-length gates. Wrong-direction
+   * candidates drop naturally because endpoint projections invert (s ≥ e).
+   */
+  def matchCandidates(featuresDs: Dataset[TargetMapFeature],
+      refsDs: Dataset[ShstReference]): DataFrame = {
+    val f = featuresDs.toDF()
+    val r = refsDs.toDF()
+    val fCells = f.select($col("id").as("feature_id"),
+        explode(cell_cover_line($col("geometry"), lit(CellLevel))).as("cell"))
+    val rCells = r.select($col("shstReferenceId").as("ref_id"),
+        explode(cell_cover_line($col("coordinates"), lit(CellLevel))).as("cell"))
+    val pairs = fCells.join(rCells, "cell")
+      .select("feature_id", "ref_id").distinct()
+    pairs
+      .join(f.select($col("id").as("feature_id"), $col("targetMap"), $col("targetMapId"),
+        $col("targetMapIsPrimary"), $col("targetMapNetHrchyRank"),
+        $col("geometry").as("f_geom")), "feature_id")
+      .join(r.select($col("shstReferenceId").as("ref_id"), $col("fromIntersectionId"),
+        $col("toIntersectionId"), $col("coordinates").as("r_geom")), "ref_id")
+  }
+
+  private def $col(n: String) = org.apache.spark.sql.functions.col(n)
+
+  /** Refine candidates into scored matches (one row per retained pair). */
+  def matches(candidates: DataFrame): DataFrame = {
+    val fFirst = element_at($col("f_geom"), 1)
+    val fLast = element_at($col("f_geom"), -1)
+    val scored = candidates
+      .withColumn("s_raw", locate_along($col("r_geom"),
+        element_at(fFirst, 1), element_at(fFirst, 2)))
+      .withColumn("e_raw", locate_along($col("r_geom"),
+        element_at(fLast, 1), element_at(fLast, 2)))
+      // direction gate: opposite-direction refs project inverted
+      .filter($col("e_raw") - $col("s_raw") > lit(MinOverlapKm))
+      .withColumn("match_geom", line_slice_along($col("r_geom"), $col("s_raw"), $col("e_raw")))
+      // one-sided: the ref slice must lie along the feature (the feature may
+      // span several reference chunks, so the symmetric distance is unbounded)
+      .withColumn("score", directed_hausdorff_km($col("match_geom"), $col("f_geom")))
+      .filter($col("score") <= lit(MatchHausdorffKm))
+    // chain position of each matched ref within its feature (W3 analog)
+    val mStart = element_at(element_at($col("match_geom"), 1), 1)
+    val mStartLat = element_at(element_at($col("match_geom"), 1), 2)
+    val w = Window.partitionBy("targetMap", "targetMapId")
+      .orderBy($col("pos_along_feature"), $col("ref_id"))
+    scored
+      .withColumn("pos_along_feature", locate_along($col("f_geom"), mStart, mStartLat))
+      .withColumn("matchedTargetMapMicroIdx", row_number().over(w) - 1)
+      .select(
+        $col("ref_id").as("shstReferenceId"),
+        $col("fromIntersectionId").as("shstFromIntersectionId"),
+        $col("toIntersectionId").as("shstToIntersectionId"),
+        $col("targetMap"), $col("targetMapId"),
+        concat($col("targetMapId"), lit("|"), $col("matchedTargetMapMicroIdx"))
+          .as("matchedTargetMapId"),
+        $col("matchedTargetMapMicroIdx"),
+        $col("targetMapIsPrimary"), $col("targetMapNetHrchyRank"),
+        lit(0).as("matchIterationId"),
+        $col("score"),
+        $col("match_geom").as("geometry"))
+  }
+
+  // ------------------------------------------------------------ conflation
+
+  /** Row shape for the per-reference kernel input. */
+  case class RefWithMatches(
+      shstReferenceId: String,
+      geometryId: String,
+      fromIntersectionId: String,
+      toIntersectionId: String,
+      oneWay: Boolean,
+      roadClass: String,
+      wayId: String,
+      coordinates: Seq[Seq[Double]],
+      nodeIdsPerSection: Seq[Seq[String]],
+      ms: Seq[MatchRow])
+
+  case class MatchRow(
+      targetMap: String,
+      targetMapId: String,
+      matchedTargetMapId: String,
+      matchedTargetMapMicroIdx: Int,
+      targetMapIsPrimary: Boolean,
+      targetMapNetHrchyRank: Int,
+      geometry: Seq[Seq[Double]])
+
+  /**
+   * J2 (the central join) + per-reference kernel. One shuffle on
+   * shst_reference_id for the match aggregation; refs join on the same key;
+   * the kernel is a flatMap over joined rows (no second grouping shuffle).
+   */
+  def conflate(refsDs: Dataset[ShstReference], matchesDf: DataFrame): Dataset[ConflationSegment] = {
+    val spark = refsDs.sparkSession
+    import spark.implicits._
+    val matchesAgg = matchesDf
+      .groupBy($col("shstReferenceId"))
+      .agg(collect_list(struct(
+        $col("targetMap"), $col("targetMapId"), $col("matchedTargetMapId"),
+        $col("matchedTargetMapMicroIdx"), $col("targetMapIsPrimary"),
+        $col("targetMapNetHrchyRank"), $col("geometry"))).as("ms"))
+    val joined = refsDs.toDF()
+      .select($col("shstReferenceId"), $col("geometryId"), $col("fromIntersectionId"),
+        $col("toIntersectionId"), $col("oneWay"), $col("roadClass"),
+        element_at($col("waySections"), 1).getField("wayId").as("wayId"),
+        $col("coordinates"),
+        transform($col("waySections"), ws => ws.getField("nodeIds")).as("nodeIdsPerSection"))
+      .join(matchesAgg, Seq("shstReferenceId"), "inner")
+      .as[RefWithMatches]
+    joined.flatMap { row =>
+      val refCoords = row.coordinates.map(_.toArray).toArray
+      val byTm = row.ms.groupBy(_.targetMap).toSeq.sortBy(_._1).map { case (tm, ms) =>
+        tm -> ms.sortBy(m => (m.targetMapId, m.matchedTargetMapMicroIdx)).map { m =>
+          (ConflationKernel.Interval(m.targetMap, m.targetMapId, m.matchedTargetMapId,
+            m.matchedTargetMapMicroIdx, m.targetMapIsPrimary, m.targetMapNetHrchyRank,
+            0, 0, 0, 0), m.geometry.map(_.toArray).toArray)
+        }
+      }
+      val segs = ConflationKernel.conflateReference(refCoords, row.nodeIdsPerSection, byTm)
+      // networklevel := rank (+0.5 if oneWay) — src/conflation/run:74-88
+      val rank = Synth.RoadClasses.indexOf(row.roadClass).max(0)
+      val nl = rank + (if (row.oneWay) 0.5 else 0.0)
+      segs.map { s =>
+        ConflationSegment(
+          row.shstReferenceId, row.geometryId, row.fromIntersectionId,
+          row.toIntersectionId, s.segmentIndex, s.totalSegments,
+          s.startDist, s.endDist, nl,
+          s.nodeIds, s.coordinates.map(_.toSeq),
+          row.wayId, row.roadClass,
+          s.tmAssignments.map(a => SegmentTmMeta(a.targetMap, a.targetMapId,
+            a.matchedTargetMapId, a.matchedTargetMapMicroIdx)))
+      }
+    }
+  }
+
+  /** W1: per-(targetMap, targetMapId) conflation_map_idx over the exploded
+    * per-segment metadata (ConflationWorkDatabaseService.js:136-153). */
+  def conflationMetadata(segments: Dataset[ConflationSegment]): DataFrame = {
+    val w = Window.partitionBy("targetMap", "targetMapId")
+      .orderBy("matchedTargetMapMicroIdx", "shstReferenceId", "segmentIndex")
+    segments.toDF()
+      .select($col("shstReferenceId"), $col("segmentIndex"),
+        explode($col("tmMeta")).as("m"))
+      .select($col("shstReferenceId"), $col("segmentIndex"),
+        $col("m.targetMap").as("targetMap"), $col("m.targetMapId").as("targetMapId"),
+        $col("m.matchedTargetMapId").as("matchedTargetMapId"),
+        $col("m.matchedTargetMapMicroIdx").as("matchedTargetMapMicroIdx"))
+      .withColumn("conflation_map_idx", row_number().over(w) - 1)
+  }
+
+  /**
+   * W2: global ordered id without a single-partition sort. Range-partition by
+   * the sort key, sort within partitions, then add per-partition offsets
+   * computed from a tiny aggregate — every step distributed.
+   */
+  def withGlobalOrderedId(df: DataFrame, sortCols: Seq[String], idCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val cols = sortCols.map($col)
+    val sorted = df.repartitionByRange(parts, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = sorted.groupBy("__pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+      .tail.zip(counts).map { case ((pid, cum), (_, c)) => (pid, cum - c) }.toMap
+    val offsetUdf = udf((pid: Int) => offsets.getOrElse(pid, 0L))
+    val w = Window.partitionBy("__pid").orderBy(cols: _*)
+    sorted
+      .withColumn(idCol, row_number().over(w).cast("long") + offsetUdf($col("__pid")))
+      .drop("__pid")
+  }
+
+  // ------------------------------------------------------------ tiles / QA
+
+  /** Zoom gate from the reference's tippecanoe invocation
+    * (bin/data_transforming/createMBTilesFromGeoJSON:22-57). */
+  def minZoomForNetworkLevel(nl: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(nl <= 1, 3).when(nl <= 2, 10).when(nl <= 3, 12).otherwise(13)
+
+  /** S9 analog: tile assignment + match-density rasterization at `zoom`. */
+  def tiles(segments: Dataset[ConflationSegment], zoom: Int): DataFrame = {
+    val mid = element_at($col("coordinates"), 1)
+    segments.toDF()
+      .filter(lit(zoom) >= minZoomForNetworkLevel($col("networklevel")))
+      .select(
+        tile_x(element_at(mid, 1), lit(zoom)).as("tile_x"),
+        tile_y(element_at(mid, 2), lit(zoom)).as("tile_y"),
+        ($col("endDist") - $col("startDist")).as("len_km"),
+        size($col("tmMeta")).as("n_tm"))
+      .groupBy("tile_x", "tile_y")
+      .agg(count(lit(1)).as("n_segments"),
+        sum("len_km").as("total_km"),
+        sum("n_tm").as("match_density"))
+      .withColumn("zoom", lit(zoom))
+  }
+
+  /** QA length-conservation report (qaSQLiteService/index.js:75-147):
+    * per target-map id, input length vs Σ assigned output lengths. */
+  def qaReport(featuresDs: Dataset[TargetMapFeature],
+      segments: Dataset[ConflationSegment]): DataFrame = {
+    val inputLens = featuresDs.toDF()
+      .select($col("targetMap"), $col("targetMapId"),
+        geodesic_length_km($col("geometry")).as("input_km"))
+    val outputLens = segments.toDF()
+      .select(explode($col("tmMeta")).as("m"),
+        ($col("endDist") - $col("startDist")).as("len_km"))
+      .groupBy($col("m.targetMap").as("targetMap"), $col("m.targetMapId").as("targetMapId"))
+      .agg(sum("len_km").as("output_km"))
+    inputLens.join(outputLens, Seq("targetMap", "targetMapId"), "left")
+      .withColumn("output_km", coalesce($col("output_km"), lit(0.0)))
+      .withColumn("len_ratio_diff",
+        ($col("output_km") - $col("input_km")) / $col("input_km"))
+      .withColumn("passes", abs($col("len_ratio_diff")) <= 0.05)
+  }
+
+  /** QA summary per target map (A8). */
+  def qaSummary(qa: DataFrame): DataFrame =
+    qa.groupBy("targetMap").agg(
+      count(lit(1)).as("n_features"),
+      sum(when($col("output_km") > 0, 1).otherwise(0)).as("n_matched"),
+      sum("input_km").as("total_input_km"),
+      sum(when($col("passes"), $col("input_km")).otherwise(0.0)).as("passing_km"))
+      .withColumn("match_rate", $col("n_matched") / $col("n_features"))
+      .withColumn("passing_ratio", $col("passing_km") / $col("total_input_km"))
+
+  /** Full pipeline at a given scale; returns the conflation segments. */
+  def run(spark: SparkSession, nPages: Long, nRoads: Int): Dataset[ConflationSegment] = {
+    val p = pages(spark, nPages, nRoads)
+    val f = features(p, nRoads)
+    val r = references(spark, nRoads)
+    conflate(r, matches(matchCandidates(f, r)))
+  }
+}

@@ -1,0 +1,195 @@
+package graft.synth
+
+import graft.geo.Geo
+import graft.model._
+import java.sql.Timestamp
+
+/**
+ * Deterministic synthetic-world generator (FIXTURES.md §1–§3).
+ *
+ * Everything derives from pure hashes — no wall clock, no RNG state — so any
+ * slice of the world can be regenerated independently on any executor at any
+ * scale: `page(i)` and `road(r)` are pure functions of their index. That is
+ * what makes 100 TB-shape benchmarking possible without shipping data.
+ *
+ * World model: a grid "county" around (-73.8, 42.7) (the reference's Albany
+ * dev subset, src/loaders/loadFeaturesFromGZippedNDSJON.js:36-39) containing
+ * `nRoads` synthetic roads. Every web page deterministically geocodes to a
+ * jittered sub-segment of one road (the graft: pages ↔ NPMRDS/RIS features);
+ * the SharedStreets-style network derives from the same roads, chunked into
+ * geometries with forward/back references (G1) and OSM waySection metadata.
+ */
+object Synth {
+
+  // --- deterministic hashing (FNV-1a 64 + murmur3 fmix64 finalizer; raw
+  // FNV low bits have too little entropy for small moduli) ----------------
+  def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    // fmix64 avalanche (public-domain MurmurHash3 finalizer)
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+  /** bounded non-negative hash */
+  def hmod(s: String, m: Int): Int = (((hash64(s) % m) + m) % m).toInt
+  /** uniform [0,1) from a hash */
+  def hfrac(s: String): Double = ((hash64(s) >>> 11).toDouble) / (1L << 53).toDouble
+
+  // --- world constants ---------------------------------------------------
+  val Lon0 = -73.95
+  val Lat0 = 42.55
+  val GridCols = 64
+  val CellDeg = 0.005 // ~410 m lon / ~556 m lat per grid cell
+  val RoadClasses = Vector("Motorway", "Trunk", "Primary", "Secondary", "Tertiary",
+    "Residential", "Unclassified", "Service", "Other")
+
+  /** Deterministic road polyline: seeded start cell + direction-biased walk.
+    * 8–16 vertices, ~150–300 m steps. */
+  def roadCoords(roadId: Int): Array[Array[Double]] = {
+    val seed = s"road/$roadId"
+    val col = hmod(seed + "/c", GridCols)
+    val row = hmod(seed + "/r", GridCols)
+    var lon = Lon0 + col * CellDeg
+    var lat = Lat0 + row * CellDeg
+    val nV = 8 + hmod(seed + "/n", 9)
+    val baseDir = hfrac(seed + "/d") * 2 * math.Pi
+    val out = new Array[Array[Double]](nV)
+    var i = 0
+    while (i < nV) {
+      out(i) = Array(lon, lat)
+      val wiggle = (hfrac(s"$seed/w$i") - 0.5) * 0.9
+      val dir = baseDir + wiggle
+      val step = 0.0015 + hfrac(s"$seed/s$i") * 0.0015
+      lon += math.cos(dir) * step
+      lat += math.sin(dir) * step * 0.75
+      i += 1
+    }
+    out
+  }
+
+  def roadClass(roadId: Int): String = RoadClasses(hmod(s"road/$roadId/cls", RoadClasses.length))
+  def roadRank(roadId: Int): Int = RoadClasses.indexOf(roadClass(roadId))
+  def roadOneWay(roadId: Int): Boolean = hmod(s"road/$roadId/ow", 3) == 0
+
+  // --- SharedStreets-style network (replaces the PBF tileset, SURVEY S2) --
+  /** Chunk a road into geometries of `chunk` segments each; emit directed
+    * references (forward always; back when not one-way — G1,
+    * ShStReferenceFeatureIterator.js:64-144). */
+  def shstReferencesForRoad(roadId: Int, chunk: Int = 3): Seq[ShstReference] = {
+    val coords = roadCoords(roadId)
+    val cls = roadClass(roadId)
+    val oneWay = roadOneWay(roadId)
+    val nSeg = coords.length - 1
+    val nChunks = (nSeg + chunk - 1) / chunk
+    (0 until nChunks).flatMap { g =>
+      val lo = g * chunk
+      val hi = math.min(lo + chunk, nSeg)
+      val geomCoords: Seq[Seq[Double]] = coords.slice(lo, hi + 1).map(_.toSeq).toSeq
+      val nodeIds = (lo to hi).map(v => s"n${roadId}_$v")
+      val geomId = s"g${roadId}_$g"
+      val fromI = s"i${roadId}_$lo"
+      val toI = s"i${roadId}_$hi"
+      val ws = WaySection(s"w${roadId}_$g", nodeIds, cls, oneWay,
+        roundabout = false, link = false, name = s"Road $roadId")
+      val fwd = ShstReference(s"r${roadId}g${g}F", geomId, fromI, toI,
+        isForward = true, cls, oneWay, geomCoords, Seq(ws))
+      if (oneWay) Seq(fwd)
+      else {
+        val back = ShstReference(s"r${roadId}g${g}B", geomId, toI, fromI,
+          isForward = false, cls, oneWay, geomCoords.reverse,
+          Seq(ws.copy(nodeIds = nodeIds.reverse)))
+        Seq(fwd, back)
+      }
+    }
+  }
+
+  def network(nRoads: Int): Seq[ShstReference] =
+    (0 until nRoads).flatMap(shstReferencesForRoad(_))
+
+  // --- pages (graft input) ------------------------------------------------
+  private val BaseTs = 1735689600000L // 2025-01-01T00:00:00Z, fixed epoch
+
+  def pageUrl(i: Long, nRoads: Int): String = {
+    val road = (i % nRoads).toInt
+    val seq = i / nRoads
+    s"https://example.test/albany/road$road/page$seq"
+  }
+
+  /** Deterministic page text; the engine must carry it byte-identically. */
+  def pageText(url: String): String = {
+    val words = Vector("road", "traffic", "segment", "bridge", "county", "route",
+      "travel", "miles", "lane", "speed", "network", "junction", "survey", "annual")
+    val n = 20 + hmod(url + "/len", 60)
+    val sb = new StringBuilder(s"Report for $url.")
+    var i = 0
+    while (i < n) {
+      sb.append(' ').append(words(hmod(s"$url/w$i", words.length)))
+      if (i % 9 == 8) sb.append('.')
+      i += 1
+    }
+    sb.append('.').toString
+  }
+
+  def page(i: Long, nRoads: Int): WebPage = {
+    val url = pageUrl(i, nRoads)
+    val text = pageText(url)
+    val lang = Vector("en", "de", "es")(hmod(url + "/lang", 3))
+    val html = ("<html><body><p>" + text + "</p></body></html>").getBytes("UTF-8")
+    new WebPage(url, new Timestamp(BaseTs + (hash64(url) >>> 40)), html, text, lang)
+  }
+
+  // --- geocoder: page → target-map feature (the graft) --------------------
+  /** Pure geocode: url/text → jittered sub-segment of the page's road plus
+    * normalized targetMap* properties (P1/P2 analog). */
+  def geocode(url: String, nRoads: Int): TargetMapFeature =
+    geocode(url, pageText(url), nRoads)
+
+  /** Slots per (road, targetMap): real NPMRDS/RIS features segment a road
+    * into disjoint pieces, so feature identity is (tm, road, slot). Distinct
+    * pages can geocode to the SAME feature id — the engine dedupes with
+    * first-writer-wins like the reference's PK-conflict swallowing
+    * (targetMapsSQLiteService/index.js:105-115, SURVEY §5.1.8). */
+  val SlotsPerRoad = 4
+
+  def geocode(url: String, text: String, nRoads: Int): TargetMapFeature = {
+    val road = hmod(url + "/road", nRoads)
+    val coords = roadCoords(road)
+    val roadLen = Geo.lengthKm(coords)
+    val tm = if (hmod(url + "/tm", 2) == 0) "npmrds_2026" else "ris_2026"
+    val slot = hmod(url + "/slot", SlotsPerRoad)
+    val tmId = s"${tm.take(1)}36001r${road}s$slot"
+    // the slot's disjoint sub-range of the road
+    val a = slot * roadLen / SlotsPerRoad
+    val b = (slot + 1) * roadLen / SlotsPerRoad
+    val slice = Geo.lineSliceAlong(coords, a, b)
+    // lateral jitter ±~6 m, keyed by FEATURE id so duplicate pages produce
+    // byte-identical features (GPS noise analog)
+    val jittered: Seq[Seq[Double]] = slice.zipWithIndex.map { case (p, k) =>
+      Seq(p(0) + (hfrac(s"$tmId/jx$k") - 0.5) * 1.2e-4,
+          p(1) + (hfrac(s"$tmId/jy$k") - 0.5) * 0.8e-4)
+    }.toSeq
+    val bearing = Geo.lineFinalBearing(jittered.map(_.toArray).toArray)
+    val first = jittered.head
+    TargetMapFeature(
+      id = tmId,
+      url = url,
+      text = text,
+      targetMap = tm,
+      regionCode = "1",
+      countyCode = "36001",
+      geoproxKey = Geo.geoProximityKey(first(0), first(1)),
+      targetMapId = tmId,
+      targetMapMesoId = Some(s"36001|$road"),
+      targetMapMacroId = Some(s"$road"),
+      targetMapMegaId = Some(s"m${road / 16}"),
+      targetMapIsPrimary = true,
+      targetMapNetHrchyRank = roadRank(road),
+      direction = Some(if (bearing <= 90 || bearing > 270) "NORTHBOUND" else "SOUTHBOUND"),
+      roadOrder = Some(slot.toDouble),
+      targetMapMicroLevelBearing = bearing,
+      geometry = jittered)
+  }
+}

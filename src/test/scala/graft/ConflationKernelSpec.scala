@@ -188,6 +188,24 @@ class ConflationKernelSpec extends AnyFunSuite {
     assert(assigned.nonEmpty)
   }
 
+  test("parityRound6 quirk: round-up boundary makes the predecessor leak (pinned)") {
+    // boundary with >6dp that rounds UP: 0.1107648987
+    val boundary = 0.1107648987
+    val ivs = Seq(iv("tm", "a", 0.0, boundary), iv("tm", "b", boundary, 0.5))
+    val parity = ConflationKernel.split(refCoords, refLen, verts, ivs, parityRound6 = true)
+    val exact = ConflationKernel.split(refCoords, refLen, verts, ivs, parityRound6 = false)
+    // exact mode: each interval owns its own segments
+    val exactB = exact.filter(_.tmAssignments.exists(_.targetMapId == "b"))
+    assert(exactB.nonEmpty && exactB.forall(s => s.startDist >= boundary - 1e-12))
+    val exactA = exact.filter(_.tmAssignments.exists(_.targetMapId == "a"))
+    assert(exactA.forall(s => s.endDist <= boundary + 1e-12))
+    // parity mode: round6(boundary)=0.110765 > boundary → "a" leaks into b's
+    // first segment and "b" loses it (observed reference behavior)
+    val leakSeg = parity.find(s => math.abs(s.startDist - boundary) < 1e-12).get
+    assert(leakSeg.tmAssignments.exists(_.targetMapId == "a"))
+    assert(!leakSeg.tmAssignments.exists(_.targetMapId == "b"))
+  }
+
   test("conflateReference end-to-end: two target maps over one reference") {
     // matches: laterally-jittered sub-segments of the reference itself
     val m1 = Array(Array(-73.7995, 42.70005), Array(-73.7862, 42.70005)) // ~start→v2
