@@ -1,13 +1,403 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.ConflationPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Driver contract (see SURVEY.md §2 for the operator ids in query names).
+ *
+ * Every `queries` entry is one operator family from the inventory; entries
+ * with an `oracleSql` twin are verified value-for-value against DuckDB on
+ * the same parquet tables. Geo/conflation entries whose semantics aren't
+ * SQL-expressible get rows-only checks here plus ScalaTest oracles.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** lon/lat derivation used by the geo queries — EXACTLY mirrored in the
+    * DuckDB oracles (integer modulo then double division). */
+  private def geoCols(li: DataFrame): DataFrame =
+    li.withColumn("lon", lit(-73.8) + col("l_orderkey") % 100 / lit(10000.0))
+      .withColumn("lat", lit(42.7) + col("l_partkey") % 100 / lit(10000.0))
+      .withColumn("lon2", lit(-73.8) + col("l_suppkey") % 100 / lit(10000.0))
+      .withColumn("lat2", lit(42.7) + col("l_linenumber") % 100 / lit(10000.0))
+
+  /** Flagship: the conflation pipeline end-to-end at smoke scale. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ConflationPipeline.run(spark, nPages = 400, nRoads = 40).toDF()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregations (A1, A3, A8) ----
+    "q01_agg" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n"))),
+
+    "q02_count_distinct" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("n_orders"),
+        countDistinct("l_partkey").as("n_parts"))),
+
+    // ---- joins (J1 three-way, J2 central, J3 anti, semi, J10) ----
+    "q03_join3" -> ((s, d) => t(s, d, "customer")
+      .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 4).as("total_bal"))),
+
+    "q04_central_join" -> ((s, d) => t(s, d, "orders")
+      .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))),
+
+    "q05_left_anti" -> ((s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")),
+
+    "q06_semi" -> ((s, d) => t(s, d, "orders")
+      .join(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
+
+    // ---- windows (W1 row_number, W4 lag adjacency) ----
+    "q07_window_rownum" -> ((s, d) => t(s, d, "orders")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))) - 1)
+      .filter(col("rn") < 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))),
+
+    "q08_lag_collapse" -> ((s, d) => t(s, d, "orders")
+      .withColumn("prev", lag("o_orderstatus", 1).over(
+        Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))))
+      .withColumn("chg", when(col("prev").isNull || col("prev") === col("o_orderstatus"), 0)
+        .otherwise(1))
+      .groupBy("o_custkey").agg(sum("chg").as("n_status_changes"),
+        count(lit(1)).as("n_orders"))),
+
+    // ---- global ordered ids (W2) ----
+    "q09_global_ids" -> ((s, d) => {
+      val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      ConflationPipeline.withGlobalOrderedId(
+        orders, Seq("o_totalprice", "o_orderkey"), "global_id")
+        .select("o_orderkey", "global_id")
+    }),
+
+    // ---- top-k / argmax (O2), majority vote (A9) ----
+    "q10_argmax" -> ((s, d) => t(s, d, "supplier")
+      .groupBy("s_nationkey")
+      .agg(max_by(col("s_name"), struct(col("s_acctbal"), col("s_suppkey"))).as("best_supplier"),
+        round(max("s_acctbal"), 4).as("best_bal"))),
+
+    "q11_mode" -> ((s, d) => {
+      val counts = t(s, d, "orders").groupBy("o_custkey", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      counts.withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey").orderBy(col("cnt").desc, col("o_orderpriority"))))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderpriority").as("majority_priority"))
+    }),
+
+    // ---- set ops / dedup (U1, U5, first-writer-wins §5.1.8) ----
+    "q12_union_distinct" -> ((s, d) => t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      .union(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+      .distinct().orderBy("nk")),
+
+    "q13_first_writer_wins" -> ((s, d) => t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(min_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey")))
+        .as("first_orderkey"))),
+
+    // ---- projections/filters with pushdown (P3, P6) ----
+    "q14_filter_project" -> ((s, d) => t(s, d, "part")
+      .filter(col("p_size") < 15 && col("p_type").contains("PROMO"))
+      .select("p_partkey", "p_brand", "p_size")),
+
+    // ---- geo scalar family over derived coordinates (F1-F3, F13, S9) ----
+    "q15_haversine" -> ((s, d) => {
+      import graft.functions.geo._
+      geoCols(t(s, d, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(haversine_km(col("lon"), col("lat"), col("lon2"), col("lat2")), 9).as("dist_km"))
+    }),
+
+    "q16_tiles" -> ((s, d) => {
+      import graft.functions.geo._
+      geoCols(t(s, d, "lineitem"))
+        .select(tile_x(col("lon"), lit(12)).as("tile_x"),
+          tile_y(col("lat"), lit(12)).as("tile_y"))
+        .groupBy("tile_x", "tile_y").agg(count(lit(1)).as("n"))
+    }),
+
+    "q17_geoprox_key" -> ((s, d) => {
+      import graft.functions.geo._
+      geoCols(t(s, d, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          geoprox_key(col("lon"), col("lat")).as("gpk"))
+    }),
+
+    "q18_final_bearing" -> ((s, d) => {
+      import graft.functions.geo._
+      geoCols(t(s, d, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          final_bearing(array(array(col("lon"), col("lat")),
+            array(col("lon2"), col("lat2")))).as("bearing"))
+        .filter(col("lon") =!= col("lon2") || col("lat") =!= col("lat2"))
+    }),
+
+    "q19_point_in_ring" -> ((s, d) => {
+      import graft.functions.geo._
+      // bounds placed off the derived-coordinate lattice so boundary
+      // semantics can't differ between ray-casting and BETWEEN
+      val ring = array(
+        array(lit(-73.79995), lit(42.70005)), array(lit(-73.79505), lit(42.70005)),
+        array(lit(-73.79505), lit(42.70495)), array(lit(-73.79995), lit(42.70495)),
+        array(lit(-73.79995), lit(42.70005)))
+      geoCols(t(s, d, "lineitem"))
+        .select(point_in_ring(ring, col("lon"), col("lat")).as("inside"))
+        .groupBy("inside").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- text analysis over documents (dedup, token, quality, lang, fp) ----
+    "q20_dedup_exact" -> ((s, d) => t(s, d, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))),
+
+    "q21_token_count" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .groupBy("lang").agg(sum("n_tokens").as("total_tokens"),
+        count(lit(1)).as("n_docs"))),
+
+    "q22_quality_score" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .as("n_punct"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .withColumn("punct_ratio", round(col("n_punct") / col("n_chars_m"), 6))
+      .withColumn("avg_token_len", round(col("n_chars_m") / col("n_tokens"), 6))
+      .select("doc_id", "n_punct", "punct_ratio", "avg_token_len")),
+
+    "q23_fingerprint" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary"))
+          .as("fingerprint"))),
+
+    "q24_langid" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val toks = doc.select(col("doc_id"), col("lang"),
+        split(lower(col("text")), "[^a-z]+").as("words"))
+      val en = Seq("the", "and", "of", "to", "in", "is", "that")
+      val de = Seq("der", "die", "und", "das", "ist", "nicht", "ein")
+      val es = Seq("el", "la", "de", "que", "los", "es", "una")
+      def hits(sw: Seq[String]) =
+        size(filter(col("words"), w => w.isInCollection(sw)))
+      toks.select(col("doc_id"), col("lang"),
+          hits(en).as("en_hits"), hits(de).as("de_hits"), hits(es).as("es_hits"))
+        .withColumn("pred_lang",
+          when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits"), "en")
+            .when(col("de_hits") >= col("es_hits"), "de").otherwise("es"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- tumbling-window event aggregation (streaming-shaped, 2.10) ----
+    "q25_tumbling_window" -> ((s, d) => t(s, d, "events")
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour").getField("start")
+        .cast("long").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))),
+
+    // ---- conflation pipeline (rows-only; ScalaTest owns the oracle) ----
+    "q40_conflation" -> ((s, _) =>
+      ConflationPipeline.run(s, nPages = 400, nRoads = 40).toDF()
+        .select("shstReferenceId", "segmentIndex", "totalSegments",
+          "startDist", "endDist", "networklevel")),
+
+    "q41_conflation_tiles" -> ((s, _) => ConflationPipeline.tiles(
+      ConflationPipeline.run(s, nPages = 400, nRoads = 40), zoom = 12)),
+
+    "q42_qa_summary" -> ((s, _) => {
+      val p = ConflationPipeline.pages(s, 400, 40)
+      val f = ConflationPipeline.features(p, 40)
+      val r = ConflationPipeline.references(s, 40)
+      val segs = ConflationPipeline.conflate(r,
+        ConflationPipeline.matches(ConflationPipeline.matchCandidates(f, r)))
+      ConflationPipeline.qaSummary(ConflationPipeline.qaReport(f, segs))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue, count(*) AS n
+        |FROM lineitem GROUP BY 1,2""".stripMargin,
+
+    "q02_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q03_join3" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal),4) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey GROUP BY 1,2""".stripMargin,
+
+    "q04_central_join" ->
+      """SELECT o_orderkey, o_orderstatus, count(*) AS n_lines,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey=l_orderkey GROUP BY 1,2""".stripMargin,
+
+    "q05_left_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""".stripMargin,
+
+    "q06_semi" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING')
+        |GROUP BY 1""".stripMargin,
+
+    "q07_window_rownum" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)-1 AS rn
+        | FROM orders) WHERE rn < 3""".stripMargin,
+
+    "q08_lag_collapse" ->
+      """SELECT o_custkey, sum(chg) AS n_status_changes, count(*) AS n_orders FROM (
+        | SELECT o_custkey,
+        |  CASE WHEN prev IS NULL OR prev = o_orderstatus THEN 0 ELSE 1 END AS chg
+        | FROM (SELECT o_custkey, o_orderstatus,
+        |   lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders)) GROUP BY 1""".stripMargin,
+
+    "q09_global_ids" ->
+      """SELECT o_orderkey,
+        | row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS global_id
+        |FROM orders""".stripMargin,
+
+    "q10_argmax" ->
+      """SELECT s_nationkey, best_supplier, best_bal FROM (
+        | SELECT s_nationkey, s_name AS best_supplier,
+        |  round(max(s_acctbal) OVER (PARTITION BY s_nationkey), 4) AS best_bal,
+        |  row_number() OVER (PARTITION BY s_nationkey
+        |    ORDER BY s_acctbal DESC, s_suppkey DESC) AS rn
+        | FROM supplier) WHERE rn=1""".stripMargin,
+
+    "q11_mode" ->
+      """SELECT o_custkey, o_orderpriority AS majority_priority FROM (
+        | SELECT o_custkey, o_orderpriority,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY count(*) DESC, o_orderpriority) AS rn
+        | FROM orders GROUP BY 1,2) WHERE rn=1""".stripMargin,
+
+    "q12_union_distinct" ->
+      """SELECT DISTINCT nk FROM (
+        | SELECT c_nationkey AS nk FROM customer
+        | UNION ALL SELECT s_nationkey AS nk FROM supplier) ORDER BY nk""".stripMargin,
+
+    "q13_first_writer_wins" ->
+      """SELECT o_custkey, o_orderkey AS first_orderkey FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        | FROM orders) WHERE rn=1""".stripMargin,
+
+    "q14_filter_project" ->
+      """SELECT p_partkey, p_brand, p_size FROM part
+        |WHERE p_size < 15 AND p_type LIKE '%PROMO%'""".stripMargin,
+
+    "q15_haversine" ->
+      """SELECT l_orderkey, l_linenumber, round(
+        | 2*6371.0088*atan2(sqrt(a), sqrt(1-a)), 9) AS dist_km FROM (
+        | SELECT l_orderkey, l_linenumber,
+        |  sin(((lat2-lat)*pi()/180)/2)*sin(((lat2-lat)*pi()/180)/2)
+        |   + cos(lat*pi()/180)*cos(lat2*pi()/180)
+        |     *sin(((lon2-lon)*pi()/180)/2)*sin(((lon2-lon)*pi()/180)/2) AS a
+        | FROM (SELECT l_orderkey, l_linenumber,
+        |   -73.8 + (l_orderkey % 100) / 10000.0 AS lon,
+        |   42.7 + (l_partkey % 100) / 10000.0 AS lat,
+        |   -73.8 + (l_suppkey % 100) / 10000.0 AS lon2,
+        |   42.7 + (l_linenumber % 100) / 10000.0 AS lat2 FROM lineitem))""".stripMargin,
+
+    "q16_tiles" ->
+      """SELECT tile_x, tile_y, count(*) AS n FROM (
+        | SELECT cast(least(greatest(floor(((-73.8 + (l_orderkey % 100) / 10000.0)+180.0)/360.0*4096), 0), 4095) AS bigint) AS tile_x,
+        |  cast(least(greatest(floor((90.0-(42.7 + (l_partkey % 100) / 10000.0))/180.0*4096), 0), 4095) AS bigint) AS tile_y
+        | FROM lineitem) GROUP BY 1,2""".stripMargin,
+
+    "q17_geoprox_key" ->
+      """SELECT l_orderkey, l_linenumber,
+        | concat(substr(lh,1,1),substr(ph,1,1),substr(lh,2,1),substr(ph,2,1),
+        |  substr(lh,3,1),substr(ph,3,1),substr(lh,4,1),substr(ph,4,1),
+        |  substr(lh,5,1),substr(ph,5,1),substr(lh,6,1),substr(ph,6,1),
+        |  substr(lh,7,1),substr(ph,7,1),substr(lh,8,1),substr(ph,8,1)) AS gpk
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |  printf('%08x', abs(cast(round((-73.8 + (l_orderkey % 100) / 10000.0)*100000,0) AS bigint))) AS lh,
+        |  printf('%08x', abs(cast(round((42.7 + (l_partkey % 100) / 10000.0)*100000,0) AS bigint))) AS ph
+        | FROM lineitem)""".stripMargin,
+
+    "q18_final_bearing" ->
+      """SELECT l_orderkey, l_linenumber, cast(round(
+        |  ((degrees(atan2(sin((lon-lon2)*pi()/180)*cos(lat*pi()/180),
+        |    cos(lat2*pi()/180)*sin(lat*pi()/180)
+        |     - sin(lat2*pi()/180)*cos(lat*pi()/180)*cos((lon-lon2)*pi()/180)))
+        |   + 180) % 360 + 360) % 360, 0) AS int) AS bearing
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |  -73.8 + (l_orderkey % 100) / 10000.0 AS lon,
+        |  42.7 + (l_partkey % 100) / 10000.0 AS lat,
+        |  -73.8 + (l_suppkey % 100) / 10000.0 AS lon2,
+        |  42.7 + (l_linenumber % 100) / 10000.0 AS lat2 FROM lineitem)
+        |WHERE lon != lon2 OR lat != lat2""".stripMargin,
+
+    "q19_point_in_ring" ->
+      """SELECT (lon > -73.79995 AND lon < -73.79505 AND lat > 42.70005 AND lat < 42.70495) AS inside,
+        | count(*) AS n
+        |FROM (SELECT -73.8 + (l_orderkey % 100) / 10000.0 AS lon,
+        |  42.7 + (l_partkey % 100) / 10000.0 AS lat FROM lineitem) GROUP BY 1""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q21_token_count" ->
+      """SELECT lang, sum(len) AS total_tokens, count(*) AS n_docs FROM (
+        | SELECT lang, array_length(regexp_split_to_array(trim(text), '\s+')) AS len
+        | FROM documents) GROUP BY 1""".stripMargin,
+
+    "q22_quality_score" ->
+      """SELECT doc_id, n_punct, round(n_punct*1.0/n_chars_m, 6) AS punct_ratio,
+        | round(n_chars_m*1.0/n_tokens, 6) AS avg_token_len FROM (
+        | SELECT doc_id, length(text) AS n_chars_m,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |  array_length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        | FROM documents)""".stripMargin,
+
+    "q23_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q24_langid" ->
+      """SELECT lang, pred_lang, count(*) AS n FROM (
+        | SELECT lang, en_hits, de_hits, es_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+        |       WHEN de_hits >= es_hits THEN 'de' ELSE 'es' END AS pred_lang
+        | FROM (
+        |  SELECT doc_id, lang,
+        |   length(list_filter(words, x -> list_contains(['the','and','of','to','in','is','that'], x))) AS en_hits,
+        |   length(list_filter(words, x -> list_contains(['der','die','und','das','ist','nicht','ein'], x))) AS de_hits,
+        |   length(list_filter(words, x -> list_contains(['el','la','de','que','los','es','una'], x))) AS es_hits
+        |  FROM (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(text), '[^a-z]+') AS words FROM documents)))
+        |GROUP BY 1,2""".stripMargin,
+
+    "q25_tumbling_window" ->
+      """SELECT cast(epoch(date_trunc('hour', ts)) AS bigint) AS hour_start, event_type,
+        | count(*) AS n, round(sum(value),4) AS total_value
+        |FROM events GROUP BY 1,2""".stripMargin
+  )
 }

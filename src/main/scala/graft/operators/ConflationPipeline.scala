@@ -225,9 +225,12 @@ object ConflationPipeline {
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val cols = sortCols.map($col)
+    // persist: RangePartitioner samples per job, so the counting pass and the
+    // result pass must see the SAME partitioning or offsets shift
     val sorted = df.repartitionByRange(parts, cols: _*)
       .sortWithinPartitions(cols: _*)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sorted.groupBy("__pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
