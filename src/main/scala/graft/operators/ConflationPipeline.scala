@@ -89,8 +89,13 @@ object ConflationPipeline {
 
   private def $col(n: String) = org.apache.spark.sql.functions.col(n)
 
+  /** Refine candidates into scored matches, then chain-assign ids via the
+    * toposort post-processor (G4). */
+  def matches(candidates: DataFrame): DataFrame =
+    MatchPostProcessor(scoredCandidates(candidates)).toDF()
+
   /** Refine candidates into scored matches (one row per retained pair). */
-  def matches(candidates: DataFrame): DataFrame = {
+  def scoredCandidates(candidates: DataFrame): DataFrame = {
     val fFirst = element_at($col("f_geom"), 1)
     val fLast = element_at($col("f_geom"), -1)
     val scored = candidates
@@ -105,26 +110,14 @@ object ConflationPipeline {
       // span several reference chunks, so the symmetric distance is unbounded)
       .withColumn("score", directed_hausdorff_km($col("match_geom"), $col("f_geom")))
       .filter($col("score") <= lit(MatchHausdorffKm))
-    // chain position of each matched ref within its feature (W3 analog)
-    val mStart = element_at(element_at($col("match_geom"), 1), 1)
-    val mStartLat = element_at(element_at($col("match_geom"), 1), 2)
-    val w = Window.partitionBy("targetMap", "targetMapId")
-      .orderBy($col("pos_along_feature"), $col("ref_id"))
-    scored
-      .withColumn("pos_along_feature", locate_along($col("f_geom"), mStart, mStartLat))
-      .withColumn("matchedTargetMapMicroIdx", row_number().over(w) - 1)
-      .select(
-        $col("ref_id").as("shstReferenceId"),
-        $col("fromIntersectionId").as("shstFromIntersectionId"),
-        $col("toIntersectionId").as("shstToIntersectionId"),
-        $col("targetMap"), $col("targetMapId"),
-        concat($col("targetMapId"), lit("|"), $col("matchedTargetMapMicroIdx"))
-          .as("matchedTargetMapId"),
-        $col("matchedTargetMapMicroIdx"),
-        $col("targetMapIsPrimary"), $col("targetMapNetHrchyRank"),
-        lit(0).as("matchIterationId"),
-        $col("score"),
-        $col("match_geom").as("geometry"))
+    scored.select(
+      $col("ref_id").as("shstReferenceId"),
+      $col("fromIntersectionId").as("shstFromIntersectionId"),
+      $col("toIntersectionId").as("shstToIntersectionId"),
+      $col("targetMap"), $col("targetMapId"),
+      $col("targetMapIsPrimary"), $col("targetMapNetHrchyRank"),
+      $col("score"),
+      $col("match_geom").as("geometry"))
   }
 
   // ------------------------------------------------------------ conflation
