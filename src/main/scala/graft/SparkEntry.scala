@@ -214,6 +214,62 @@ object SparkEntry {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))),
 
+    // ---- dedup / similarity / ANN / kNN / multimodal ----
+    "q26_minhash_lsh" -> ((s, d) =>
+      graft.operators.Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")),
+
+    "q27_ngram_jaccard" -> ((s, d) => {
+      import graft.operators.Dedup
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), Dedup.wordShinglesExpr("text", 3).as("sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("source"), col("sh").as("sh_b"))
+      a.join(b, "source").filter(col("doc_a") < col("doc_b"))
+        .withColumn("j", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
+        .filter(col("j") >= 0.2)
+        .select("doc_a", "doc_b", "j")
+    }),
+
+    "q28_simhash" -> ((s, d) =>
+      graft.operators.Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 16)),
+
+    "q29_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+    }),
+
+    "q30_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.lshTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+    }),
+
+    "q31_knn_cells" -> ((s, d) => {
+      val pts = t(s, d, "nation").select(col("n_nationkey").cast("long").as("point_id"),
+        (lit(-73.85) + col("n_nationkey") % 20 / lit(100.0)).as("lon"),
+        (lit(42.6) + col("n_nationkey") % 15 / lit(100.0)).as("lat"))
+      graft.operators.Knn.nearestReferences(
+        pts, ConflationPipeline.references(s, 40), k = 3)
+    }),
+
+    "q32_multimodal_decode" -> ((s, d) => {
+      val media = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("media"))
+      graft.operators.Multimodal.resizePlan(
+        graft.operators.Multimodal.decodeAndExtract(media), maxSide = 128)
+        .select("media_id", "width", "height", "out_width", "out_height")
+    }),
+
+    "q33_frame_sample" -> ((s, d) => {
+      val media = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("media"))
+      graft.operators.Multimodal.frameSample(
+        graft.operators.Multimodal.decodeAndExtract(media), stride = 2)
+        .select(col("media_id"), col("n_sampled"))
+    }),
+
     // ---- conflation pipeline (rows-only; ScalaTest owns the oracle) ----
     "q40_conflation" -> ((s, _) =>
       ConflationPipeline.run(s, nPages = 400, nRoads = 40).toDF()
@@ -398,6 +454,54 @@ object SparkEntry {
     "q25_tumbling_window" ->
       """SELECT cast(epoch(date_trunc('hour', ts)) AS bigint) AS hour_start, event_type,
         | count(*) AS n, round(sum(value),4) AS total_value
-        |FROM events GROUP BY 1,2""".stripMargin
+        |FROM events GROUP BY 1,2""".stripMargin,
+
+    "q26_minhash_lsh" ->
+      """WITH s AS (SELECT doc_id, list_distinct(
+        |   [substr(text, CAST(i AS INT), 5) for i in range(1, greatest(length(text)-4,1)+1)]) AS sh
+        | FROM documents)
+        |SELECT id_a, id_b, j FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))*1.0
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id) WHERE j >= 0.7""".stripMargin,
+
+    "q27_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '') AS ws
+        | FROM documents),
+        |s AS (SELECT doc_id, source, list_distinct(
+        |  [array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+        |   for i in range(1, greatest(len(ws)-2,1)+1)]) AS sh FROM w)
+        |SELECT doc_a, doc_b, j FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.sh, b.sh))*1.0
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j
+        | FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE j >= 0.2""".stripMargin,
+
+    "q29_ann_brute" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings)
+        |SELECT query_id, neighbor_id, rank, sim FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        | FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   round(list_dot_product(q.v, c.v)
+        |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id))
+        |WHERE rank <= 5""".stripMargin,
+
+    "q32_multimodal_decode" ->
+      """SELECT media_id, width, height,
+        | CAST(floor(width * scale) AS INT) AS out_width,
+        | CAST(floor(height * scale) AS INT) AS out_height FROM (
+        | SELECT media_id, width, height,
+        |  least(1.0, 128.0 / greatest(width, height)) AS scale FROM (
+        |  SELECT doc_id AS media_id,
+        |   64 + (octet_length(encode(text)) % 256) AS width,
+        |   64 + ((octet_length(encode(text)) * 7) % 256) AS height
+        |  FROM documents))""".stripMargin
   )
 }

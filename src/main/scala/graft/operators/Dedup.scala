@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication operators for large-scale training-data pipelines:
+ * exact, MinHash+LSH, SimHash, and n-gram Jaccard — all expressed with
+ * codegen'd built-in functions (xxhash64, higher-order array functions) so
+ * the only shuffles are the band-bucket join and final dedup.
+ *
+ * Scale notes: LSH candidate generation is an equi-join on (band, bandHash)
+ * — never a cross product. Verification (exact Jaccard on shingle arrays)
+ * runs only on candidates. Band count / rows-per-band trade recall for
+ * candidate volume: r=2,b=32 gives recall ≈ 1-(1-j²)³² (≈1-4e-10 at j=0.7).
+ */
+object Dedup {
+
+  /** Distinct k-char shingles, sorted for determinism. (SQL-expression form:
+    * the Scala `substring(col, Int, Int)` helper can't take a lambda-bound
+    * start, so the shingler is written as a SQL lambda.) */
+  def charShinglesExpr(textCol: String, k: Int): Column =
+    expr(s"array_sort(array_distinct(transform(" +
+      s"sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+      s"i -> substring($textCol, i, $k))))")
+
+  /** Distinct n-gram word shingles (words = lowercase alpha runs). */
+  def wordShinglesExpr(textCol: String, n: Int): Column =
+    expr(s"array_sort(array_distinct(transform(" +
+      s"sequence(1, greatest(size(filter(split(lower($textCol), '[^a-z]+'), w -> w != '')) - ${n - 1}, 1)), " +
+      s"i -> array_join(slice(filter(split(lower($textCol), '[^a-z]+'), w -> w != ''), i, $n), ' '))))")
+
+  /** MinHash signature: numHashes mins of xxhash64(shingle, i). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(shingles, s => xxhash64(s, lit(i))))): _*)
+
+  /** LSH band keys: one hash per band of `rowsPerBand` signature values. */
+  def lshBands(sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
+    val bands = numHashes / rowsPerBand
+    array((0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => sig.getItem(b * rowsPerBand + r))
+      xxhash64((parts :+ lit(b)): _*)
+    }: _*)
+  }
+
+  /** Exact Jaccard of two pre-distinct shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /**
+   * Near-duplicate pairs via MinHash+LSH with exact-Jaccard verification.
+   * Input must have (idCol, textCol). Output: (id_a, id_b, j) with id_a<id_b.
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, rowsPerBand: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val withSig = df
+      .withColumn("__sh", charShinglesExpr(textCol, shingleK))
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .withColumn("__bands", lshBands(col("__sig"), numHashes, rowsPerBand))
+      .select(col(idCol).as("__id"), col("__sh"), posexplode(col("__bands")).as(Seq("__b", "__h")))
+    val a = withSig.select(col("__id").as("id_a"), col("__sh").as("sh_a"),
+      col("__b"), col("__h"))
+    val b = withSig.select(col("__id").as("id_b"), col("__sh").as("sh_b"),
+      col("__b"), col("__h"))
+    a.join(b, Seq("__b", "__h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("j", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("j") >= threshold)
+      .select("id_a", "id_b", "j")
+  }
+
+  /** Pure 64-bit SimHash over tokens (bit-majority of token hashes). */
+  def simhash64(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = graft.synth.Synth.hash64(t)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) { if (votes(k) > 0) out |= (1L << k); k += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /**
+   * SimHash near-dup candidate pairs: block on 16-bit bands (any pair within
+   * hamming ≤ 3 of 64 bits shares at least one of 4 bands by pigeonhole),
+   * then verify exact hamming distance.
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+        (id, simhash64(toks))
+      }.toDF(idCol, "simhash")
+    val banded = hashed.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bandval")))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("bandval"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("bandval"))
+    val pairs = a.join(b, Seq("band", "bandval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    pairs.select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

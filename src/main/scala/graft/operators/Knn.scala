@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.functions.geo._
+import graft.model.ShstReference
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * kNN segment lookup via cell-ring expansion (BASELINE.json north_star):
+ * for each query point, candidate references are those whose cell cover
+ * intersects the point's cell disk; exact distance = nearest-point-on-line.
+ *
+ * The ring radius bounds the search: a point's k nearest segments within
+ * `maxRingKm` are guaranteed found when ring * cellSize ≥ maxRingKm. The
+ * candidate join is an equi-join on cell id — no cross product, and hot
+ * urban cells can be salted on the reference side.
+ */
+object Knn {
+
+  /** cell level 14 ≈ 1.7 km lon × 1.2 km lat at this latitude. */
+  val Level = 14
+
+  /**
+   * k nearest references per query point.
+   * points: (point_id, lon, lat); output (point_id, shstReferenceId, rank,
+   * dist_km rounded 6 dp, ranked by (dist, refId)).
+   */
+  def nearestReferences(points: DataFrame, refs: Dataset[ShstReference],
+      k: Int, ring: Int = 2): DataFrame = {
+    val refCells = refs.toDF()
+      .select(col("shstReferenceId"), col("coordinates"),
+        explode(cell_cover_line(col("coordinates"), lit(Level))).as("cell"))
+    val probed = points
+      .withColumn("cell", explode(
+        cell_disk(cell_encode(col("lon"), col("lat"), lit(Level)), lit(ring))))
+    val w = Window.partitionBy("point_id").orderBy(col("dist_km"), col("shstReferenceId"))
+    probed.join(refCells, Seq("cell"))
+      .select("point_id", "lon", "lat", "shstReferenceId", "coordinates").distinct()
+      .withColumn("dist_km", round(
+        element_at(nearest_point_on_line(col("coordinates"), col("lon"), col("lat")), 4), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("point_id", "shstReferenceId", "rank", "dist_km")
+  }
+
+  /** Exact brute-force baseline (points × all refs) for recall checks. */
+  def bruteForce(points: DataFrame, refs: Dataset[ShstReference], k: Int): DataFrame = {
+    val r = refs.toDF().select(col("shstReferenceId"), col("coordinates"))
+    val w = Window.partitionBy("point_id").orderBy(col("dist_km"), col("shstReferenceId"))
+    points.crossJoin(r)
+      .withColumn("dist_km", round(
+        element_at(nearest_point_on_line(col("coordinates"), col("lon"), col("lat")), 4), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("point_id", "shstReferenceId", "rank", "dist_km")
+  }
+}

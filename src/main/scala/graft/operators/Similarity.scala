@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding similarity search over an `array<float>` column.
+ *
+ * - `bruteForceTopK`: exact cosine top-k — the correctness baseline. The
+ *   join is queries × corpus, so keep the query side small/broadcast.
+ * - `lshTopK`: random-hyperplane LSH — sign-bit bucket join, then exact
+ *   cosine only within buckets (+ ring of adjacent buckets by flipping one
+ *   bit) — the scale path: corpus×corpus never materializes.
+ *
+ * All math in double (fp32 inputs are exact in double); cosine rounded to
+ * 6 dp before ranking so tie-breaks are stable across evaluation orders.
+ */
+object Similarity {
+
+  /** dot(a, b) with double accumulation, left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /**
+   * Exact top-k neighbors for each query vector.
+   * Output: (query_id, neighbor_id, rank, sim) — sim rounded to 6 dp,
+   * ranked by (sim desc, neighbor_id asc); self-pairs excluded.
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim). */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-bit bucket id from `nPlanes` deterministic hyperplanes. */
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * LSH-bucketed approximate top-k: candidates share the exact bucket or a
+   * bucket at Hamming distance 1 (one flipped hyperplane bit) — the bucket
+   * analog of cell-ring expansion. Same output shape as bruteForceTopK.
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), nPlanes))
+    val probes = (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))) :+
+      col("qbucket")
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qbucket", lshBucket(col("qv"), nPlanes))
+      .withColumn("bucket", explode(array(probes: _*)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qv", "cv").distinct()
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+}

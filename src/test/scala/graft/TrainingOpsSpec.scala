@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, Knn, ConflationPipeline, Multimodal}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrainingOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("minhash LSH finds exactly the brute-force near-dup pairs (full recall at j≥0.7)") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = docs.select(col("doc_id"), Dedup.charShinglesExpr("text", 5).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("j") >= 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
+    assert(brute.nonEmpty) // the fixture really contains near-dups
+  }
+
+  test("simhash: near-identical texts collide, unrelated texts don't") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "the quick brown fox jumps over the lazy cat again and again"
+    val t3 = "completely different words about numerical linear algebra kernels"
+    def sh(t: String) = Dedup.simhash64(t.split(" ").toSeq)
+    assert(Dedup.hamming64(sh(t1), sh(t2)) <= 16)
+    assert(Dedup.hamming64(sh(t1), sh(t3)) > 16)
+    // pipeline produces verified pairs whose hamming really is ≤ threshold
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+    assert(pairs.filter(col("hamming") > 16).count() == 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("ANN LSH finds planted near-neighbors (random data carries no signal)") {
+    // queries = slightly perturbed copies of corpus vectors: their true
+    // nearest neighbor is the source vector with cosine ≈ 0.99
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + (i % 7).cast("float") * lit(0.01f)).as("embedding"))
+    val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val lsh = Similarity.lshTopK(planted, corpus, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = (0 until 20).count(i => lsh.get(i + 100000L).contains(i.toLong))
+    assert(hits >= 16, s"top-1 hits: $hits/20") // ≥80% with 1-bit multiprobe
+    // and brute force finds all of them (exactness baseline)
+    val brute = Similarity.bruteForceTopK(planted, corpus, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert((0 until 20).forall(i => brute.get(i + 100000L).contains(i.toLong)))
+  }
+
+  test("kNN cell-ring matches brute force for points with in-ring neighbors") {
+    val pts = spark.range(20).select(col("id").as("point_id"),
+      (lit(-73.85) + col("id") % 20 / lit(100.0)).as("lon"),
+      (lit(42.6) + col("id") % 15 / lit(100.0)).as("lat"))
+    val refs = ConflationPipeline.references(spark, 40).cache()
+    val ringed = Knn.nearestReferences(pts, refs, k = 3)
+    val brute = Knn.bruteForce(pts, refs, k = 3)
+    // for every point the ringed top-3 must agree with brute force whenever
+    // the brute-force distance is within the guaranteed ring radius (~2.4km)
+    val b = brute.filter(col("dist_km") <= 2.0)
+      .select("point_id", "rank", "shstReferenceId").as[(Long, Int, String)].collect().toSet
+    val r = ringed.select("point_id", "rank", "shstReferenceId")
+      .as[(Long, Int, String)].collect().toSet
+    assert(b.subsetOf(r), s"missing=${(b diff r).take(5)}")
+  }
+
+  test("multimodal: decode batch shape, metadata propagation, resize, frame sampling") {
+    val media = docs.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("media"))
+    val decoded = Multimodal.decodeAndExtract(media).cache()
+    assert(decoded.count() == docs.count())
+    assert(decoded.schema.fieldNames.toSet ==
+      Set("media_id", "width", "height", "channels", "n_frames", "format", "feature"))
+    // feature is a fixed-width vector
+    assert(decoded.filter(size(col("feature")) =!= 8).count() == 0)
+    val resized = Multimodal.resizePlan(decoded, 128)
+    assert(resized.filter(col("out_width") > 128 || col("out_height") > 128).count() == 0)
+    // aspect ratio preserved within integer floor
+    assert(resized.filter(col("out_width") < 1 || col("out_height") < 1).count() == 0)
+    val frames = Multimodal.frameSample(decoded, 2)
+    assert(frames.count() == docs.count())
+    // every sampled index is even and within n_frames
+    val bad = frames.select(explode(col("sampled_frames")).as("f"))
+      .filter(col("f") % 2 =!= 0)
+    assert(bad.count() == 0)
+  }
+
+  test("deterministic: rerunning minhash yields identical pairs") {
+    val p1 = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b", "j").collect().map(_.toString).sorted
+    val p2 = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b", "j").collect().map(_.toString).sorted
+    assert(p1.sameElements(p2))
+  }
+}
