@@ -1,24 +1,58 @@
 package graft
+
+import graft.operators.ConflationPipeline
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR, plus
+ * the north-star throughput numbers (conflated segment-match rows/sec and
+ * tiles/sec) on the deterministic synthetic world. One JSON line on stdout.
+ *
+ * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default
+ * 4), SPARK_GRAFT_BENCH_PAGES / _ROADS (conflation scale; default 40k/1600).
+ */
 object Bench {
+
+  def buildSession(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Run the conflation pipeline once; returns (segments, tiles, seconds). */
+  def conflationThroughput(spark: SparkSession, nPages: Long, nRoads: Int): (Long, Long, Double) = {
+    val t0 = System.nanoTime()
+    val segs = ConflationPipeline.run(spark, nPages, nRoads)
+    val nSegs = segs.count()
+    val nTiles = ConflationPipeline.tiles(segs, 12).count()
+    (nSegs, nTiles, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "40000").toLong
+    val nRoads = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROADS", "1600").toInt
+    val spark = buildSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val (nSegs, nTiles, confSec) = conflationThroughput(spark, nPages, nRoads)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + confSec
+    val conf = f""""conflation":{"pages":$nPages,"roads":$nRoads,"segments":$nSegs,""" +
+      f""""tiles":$nTiles,"sec":$confSec%.3f,""" +
+      f""""segment_rows_per_sec":${nSegs / confSec}%.1f,""" +
+      f""""tiles_per_sec":${nTiles / confSec}%.1f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$conf}""")
     spark.stop()
   }
 }

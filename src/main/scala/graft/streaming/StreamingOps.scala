@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming ingest surface (SURVEY.md §2.10). The reference's matcher is an
+ * async-iterator micro-batcher with a matchBatchId stamped per row
+ * (SharedStreetsMatchesAsyncIterator.js:7,56-99); Structured Streaming's
+ * micro-batches are the native analog. `warc_ts` (input_hint) is the event
+ * time for watermarked windows.
+ */
+object StreamingOps {
+
+  /** Tumbling-window event aggregation with a watermark; same result as the
+    * batch query when the source is bounded. */
+  def windowedEventCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).getField("start").cast("long").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+
+  case class UrlEvent(url: String, text: String)
+  case class SeenState(firstText: String)
+
+  /** Streaming first-writer-wins dedup by url (the reference's PK-conflict
+    * swallow, §5.1.8) via mapGroupsWithState: emits a row only the first
+    * time a url is seen; later duplicates are dropped. */
+  def streamingDedupByUrl(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("url"), col("text")).as[UrlEvent]
+      .groupByKey(_.url)
+      .flatMapGroupsWithState[SeenState, UrlEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (url: String, rows: Iterator[UrlEvent], state: GroupState[SeenState]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.next()
+            state.update(SeenState(first.text))
+            Iterator(first)
+          }
+      }.toDF()
+  }
+}
