@@ -1,0 +1,32 @@
+package graft
+import graft.operators.ConflationPipeline
+import org.apache.spark.sql.functions._
+object PhaseBench extends App {
+  val cpus = args(0)
+  val nPages = 400000L; val nRoads = 16000
+  val spark = Bench.buildSession(cpus)
+  spark.sparkContext.setLogLevel("WARN")
+  def time(name: String)(f: => Any): Unit = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[p$cpus] $name ${(System.nanoTime()-t0)/1e9}%.2f ($r)")
+  }
+  val pages = ConflationPipeline.pages(spark, nPages, nRoads)
+  time("pages"){ pages.count() }
+  val feats = ConflationPipeline.features(pages, nRoads)
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  time("features+dedup"){ feats.count() }
+  val refs = ConflationPipeline.references(spark, nRoads)
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  time("refs"){ refs.count() }
+  val cand = ConflationPipeline.matchCandidates(feats, refs)
+  val scoredc = ConflationPipeline.scoredCandidates(cand)
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  time("candidates+score"){ scoredc.count() }
+  val m = graft.operators.MatchPostProcessor(scoredc).toDF()
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  time("postprocess"){ m.count() }
+  val segs = ConflationPipeline.conflate(refs, m)
+  time("conflate"){ segs.count() }
+  time("tiles"){ ConflationPipeline.tiles(ConflationPipeline.conflate(refs, m), 12).count() }
+  spark.stop()
+}

@@ -57,7 +57,7 @@ object ConflationPipeline {
   /** Synthetic SharedStreets-style reference network, generated distributed. */
   def references(spark: SparkSession, nRoads: Int): Dataset[ShstReference] = {
     import spark.implicits._
-    spark.range(nRoads).flatMap(r => Synth.shstReferencesForRoad(r.toInt))
+    spark.range(nRoads).flatMap(r => Synth.shstReferencesForRoad(r.toInt, nRoads))
   }
 
   // ------------------------------------------------------------- matching
@@ -98,7 +98,13 @@ object ConflationPipeline {
   def scoredCandidates(candidates: DataFrame): DataFrame = {
     val fFirst = element_at($col("f_geom"), 1)
     val fLast = element_at($col("f_geom"), -1)
+    // the candidate join's output is hash-partitioned by cell — hot urban
+    // cells skew it badly; spread the expensive geometry scoring uniformly
+    // over the pair key before computing (north rule: explicit salting /
+    // AQE-aware repartitioning for skewed cells)
+    val parts = candidates.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val scored = candidates
+      .repartition(parts, $col("feature_id"), $col("ref_id"))
       .withColumn("s_raw", locate_along($col("r_geom"),
         element_at(fFirst, 1), element_at(fFirst, 2)))
       .withColumn("e_raw", locate_along($col("r_geom"),

@@ -41,17 +41,23 @@ object Synth {
   // --- world constants ---------------------------------------------------
   val Lon0 = -73.95
   val Lat0 = 42.55
-  val GridCols = 64
   val CellDeg = 0.005 // ~410 m lon / ~556 m lat per grid cell
+
+  /** Grid side grows with √nRoads so road density (and therefore spatial-
+    * join fan-out per cell) stays constant as the world scales — the same
+    * invariant a real planet-scale corpus has. ≥64 keeps small fixtures
+    * identical across scales. */
+  def gridCols(nRoads: Int): Int = math.max(64, math.ceil(math.sqrt(nRoads.toDouble) * 2).toInt)
   val RoadClasses = Vector("Motorway", "Trunk", "Primary", "Secondary", "Tertiary",
     "Residential", "Unclassified", "Service", "Other")
 
   /** Deterministic road polyline: seeded start cell + direction-biased walk.
     * 8–16 vertices, ~150–300 m steps. */
-  def roadCoords(roadId: Int): Array[Array[Double]] = {
+  def roadCoords(roadId: Int, nRoads: Int): Array[Array[Double]] = {
     val seed = s"road/$roadId"
-    val col = hmod(seed + "/c", GridCols)
-    val row = hmod(seed + "/r", GridCols)
+    val g = gridCols(nRoads)
+    val col = hmod(seed + "/c", g)
+    val row = hmod(seed + "/r", g)
     var lon = Lon0 + col * CellDeg
     var lat = Lat0 + row * CellDeg
     val nV = 8 + hmod(seed + "/n", 9)
@@ -78,8 +84,8 @@ object Synth {
   /** Chunk a road into geometries of `chunk` segments each; emit directed
     * references (forward always; back when not one-way — G1,
     * ShStReferenceFeatureIterator.js:64-144). */
-  def shstReferencesForRoad(roadId: Int, chunk: Int = 3): Seq[ShstReference] = {
-    val coords = roadCoords(roadId)
+  def shstReferencesForRoad(roadId: Int, nRoads: Int, chunk: Int = 3): Seq[ShstReference] = {
+    val coords = roadCoords(roadId, nRoads)
     val cls = roadClass(roadId)
     val oneWay = roadOneWay(roadId)
     val nSeg = coords.length - 1
@@ -107,7 +113,7 @@ object Synth {
   }
 
   def network(nRoads: Int): Seq[ShstReference] =
-    (0 until nRoads).flatMap(shstReferencesForRoad(_))
+    (0 until nRoads).flatMap(shstReferencesForRoad(_, nRoads))
 
   // --- pages (graft input) ------------------------------------------------
   private val BaseTs = 1735689600000L // 2025-01-01T00:00:00Z, fixed epoch
@@ -156,7 +162,7 @@ object Synth {
 
   def geocode(url: String, text: String, nRoads: Int): TargetMapFeature = {
     val road = hmod(url + "/road", nRoads)
-    val coords = roadCoords(road)
+    val coords = roadCoords(road, nRoads)
     val roadLen = Geo.lengthKm(coords)
     val tm = if (hmod(url + "/tm", 2) == 0) "npmrds_2026" else "ris_2026"
     val slot = hmod(url + "/slot", SlotsPerRoad)
