@@ -95,7 +95,7 @@ object ConflationPipeline {
     MatchPostProcessor(scoredCandidates(candidates)).toDF()
 
   /** Refine candidates into scored matches (one row per retained pair). */
-  def scoredCandidates(candidates: DataFrame): DataFrame = {
+  def scoredCandidates(candidates: DataFrame, hausdorffKm: Double = MatchHausdorffKm): DataFrame = {
     val fFirst = element_at($col("f_geom"), 1)
     val fLast = element_at($col("f_geom"), -1)
     // the candidate join's output is hash-partitioned by cell — hot urban
@@ -115,7 +115,7 @@ object ConflationPipeline {
       // one-sided: the ref slice must lie along the feature (the feature may
       // span several reference chunks, so the symmetric distance is unbounded)
       .withColumn("score", directed_hausdorff_km($col("match_geom"), $col("f_geom")))
-      .filter($col("score") <= lit(MatchHausdorffKm))
+      .filter($col("score") <= lit(hausdorffKm))
     scored.select(
       $col("ref_id").as("shstReferenceId"),
       $col("fromIntersectionId").as("shstFromIntersectionId"),
