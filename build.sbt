@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // commit + zero the heap at startup: lazy page commit under 32-thread
+  // allocation otherwise burns more kernel time than user time (observed
+  // stime > utime via /proc), inverting thread scaling on this VM
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -3,7 +3,8 @@ import graft.operators.ConflationPipeline
 import org.apache.spark.sql.functions._
 object PhaseBench extends App {
   val cpus = args(0)
-  val nPages = 400000L; val nRoads = 16000
+  val nPages = if (args.length > 1) args(1).toLong else 400000L
+  val nRoads = if (args.length > 2) args(2).toInt else 16000
   val spark = Bench.buildSession(cpus)
   spark.sparkContext.setLogLevel("WARN")
   def time(name: String)(f: => Any): Unit = {

@@ -6,18 +6,26 @@ import org.apache.spark.sql.SparkSession
  * Two-cluster-size scaling evidence (BASELINE.json north_rule): run the
  * IDENTICAL conflation job on IDENTICAL deterministic input at N and 4N
  * parallelism (local[8] vs local[32] — the sandbox stand-in for N and 4N
- * executors per BASELINE.md), report throughput at both plus
- * efficiency = (T_N_wall / T_4N_wall) / 4.
+ * executors per BASELINE.md). Each invocation measures ONE parallelism
+ * level in a fresh JVM (same-JVM back-to-back sessions contaminate each
+ * other through heap state); tools/scaling_bench.sh runs both and computes
+ * efficiency = (T_N / T_4N) / 4.
  *
- * Usage: sbt "runMain graft.ScalingBench [nPages] [nRoads]"
+ * Usage: sbt "runMain graft.ScalingBench <cpus> [nPages] [nRoads]"
  */
 object ScalingBench {
 
   def run(cpus: Int, nPages: Long, nRoads: Int): (Long, Long, Double) = {
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.inMemoryColumnarStorage.compressed",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESS", "true"))
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -27,18 +35,14 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val nPages = if (args.length > 0) args(0).toLong else 40000L
-    val nRoads = if (args.length > 1) args(1).toInt else 1600
-    // warm-up (JIT + codegen caches) at small scale so neither run pays it
-    run(8, 2000, 200)
-    val (s8, t8, sec8) = run(8, nPages, nRoads)
-    val (s32, t32, sec32) = run(32, nPages, nRoads)
-    require(s8 == s32 && t8 == t32, s"non-deterministic output: $s8/$s32 $t8/$t32")
-    val eff = (sec8 / sec32) / 4.0
-    println(f"""{"n_pages":$nPages,"n_roads":$nRoads,"segments":$s8,"tiles":$t8,""" +
-      f""""sec_local8":$sec8%.2f,"sec_local32":$sec32%.2f,""" +
-      f""""rows_per_sec_local8":${s8 / sec8}%.1f,"rows_per_sec_local32":${s8 / sec32}%.1f,""" +
-      f""""tiles_per_sec_local8":${t8 / sec8}%.1f,"tiles_per_sec_local32":${t8 / sec32}%.1f,""" +
-      f""""scaling_efficiency":$eff%.3f}""")
+    val cpus = args(0).toInt
+    val nPages = if (args.length > 1) args(1).toLong else 400000L
+    val nRoads = if (args.length > 2) args(2).toInt else 16000
+    // warm-up (JIT + codegen caches) at small scale, same parallelism
+    run(cpus, 2000, 200)
+    val (segs, tiles, sec) = run(cpus, nPages, nRoads)
+    println(f"""{"cpus":$cpus,"n_pages":$nPages,"n_roads":$nRoads,""" +
+      f""""segments":$segs,"tiles":$tiles,"sec":$sec%.2f,""" +
+      f""""rows_per_sec":${segs / sec}%.1f,"tiles_per_sec":${tiles / sec}%.1f}""")
   }
 }

@@ -270,6 +270,10 @@ object SparkEntry {
         .select(col("media_id"), col("n_sampled"))
     }),
 
+    "q34_node_ways_index" -> ((s, _) => graft.operators.Sinks.nodeToWaysIndex(
+      ConflationPipeline.run(s, nPages = 400, nRoads = 40))
+      .select(col("node_id"), size(map_keys(col("ways"))).as("n_ways"))),
+
     // ---- conflation pipeline (rows-only; ScalaTest owns the oracle) ----
     "q40_conflation" -> ((s, _) =>
       ConflationPipeline.run(s, nPages = 400, nRoads = 40).toDF()

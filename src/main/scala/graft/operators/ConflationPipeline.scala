@@ -47,11 +47,20 @@ object ConflationPipeline {
     * first-writer-wins like the reference's PK-conflict swallowing
     * (SURVEY §5.1.8) — deterministically, the lexicographically-first url. */
   def features(pagesDs: Dataset[WebPage], nRoads: Int): Dataset[TargetMapFeature] = {
-    import pagesDs.sparkSession.implicits._
-    pagesDs.map(p => Synth.geocode(p.url, p.text, nRoads))
-      .groupByKey(_.id)
-      .reduceGroups((a, b) => if (a.url <= b.url) a else b)
-      .map(_._2)
+    val spark = pagesDs.sparkSession
+    import spark.implicits._
+    // Dedup on the CHEAP (feature id, url) projection first — shuffling full
+    // page bodies through a min_by(struct) aggregate is ~10x the volume.
+    // The winner join is left to the optimizer: a forced broadcast builds a
+    // multi-hundred-MB driver-side hash table serially at large scale (at
+    // 10^12 scale this becomes a bucketed join on url).
+    val winners = pagesDs.map(p => (Synth.featureId(p.url, nRoads), p.url))
+      .toDF("id", "url")
+      .groupBy($col("id")).agg(min($col("url")).as("url"))
+      .select("url")
+    pagesDs.toDF().join(winners, "url")
+      .select("url", "text").as[(String, String)]
+      .map { case (u, t) => Synth.geocode(u, t, nRoads) }
   }
 
   /** Synthetic SharedStreets-style reference network, generated distributed. */
@@ -294,11 +303,14 @@ object ConflationPipeline {
       .withColumn("match_rate", $col("n_matched") / $col("n_features"))
       .withColumn("passing_ratio", $col("passing_km") / $col("total_input_km"))
 
-  /** Full pipeline at a given scale; returns the conflation segments. */
+  /** Full pipeline at a given scale; returns the conflation segments.
+    * features/references are persisted — both feed two downstream consumers
+    * (cell-cover explode + geometry re-attach; candidate join + conflate),
+    * and recomputing the geocode/dedup subtree doubles the work. */
   def run(spark: SparkSession, nPages: Long, nRoads: Int): Dataset[ConflationSegment] = {
     val p = pages(spark, nPages, nRoads)
-    val f = features(p, nRoads)
-    val r = references(spark, nRoads)
+    val f = features(p, nRoads).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = references(spark, nRoads).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     conflate(r, matches(matchCandidates(f, r)))
   }
 }

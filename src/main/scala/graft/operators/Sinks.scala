@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.model.ConflationSegment
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * Output sinks (SURVEY.md §2.1 S7–S13), Spark-idiomatic:
+ *
+ *  - S7 NDJSON: `write.json` after the reference's output projection/rename
+ *    (outputConflationNDSJON:17-101) — one feature per line, distributed
+ *  - S8 GeoJSON FeatureCollection: NDJSON wrapped in the envelope; single
+ *    file by construction (bin/data_transforming/ndjson_to_geojson:1-31)
+ *  - S11 OSM-XML-shaped text: per-partition text render with tag
+ *    sanitization (outputConflationOSM:20-86, F20)
+ *  - S12 node→ways inverted index: explode + group + map_from_entries
+ *    (createConflationNode2WaysLevelDb:48-86)
+ *  - S13 QA CSVs: per-feature + summary (qaSQLiteService/index.js:33-46)
+ */
+object Sinks {
+
+  /** S7: the reference's output projection — GeoJSON-feature-shaped rows,
+    * ordered by (networklevel, geoprox of first vertex). */
+  def conflationNdjson(segments: Dataset[ConflationSegment], path: String): Unit = {
+    val out = segmentFeatures(segments)
+    out.orderBy(col("networklevel"), col("geoprox_key"))
+      .write.mode("overwrite").json(path)
+  }
+
+  /** Projection shared by the NDJSON and GeoJSON sinks. */
+  def segmentFeatures(segments: Dataset[ConflationSegment]): DataFrame =
+    segments.toDF()
+      .withColumn("geoprox_key", graft.functions.geo.geoprox_key(
+        element_at(element_at(col("coordinates"), 1), 1),
+        element_at(element_at(col("coordinates"), 1), 2)))
+      .select(
+        lit("Feature").as("type"),
+        concat(col("shstReferenceId"), lit(":"), col("segmentIndex")).as("id"),
+        struct(
+          col("shstReferenceId"), col("geometryId"),
+          col("fromIntersectionId"), col("toIntersectionId"),
+          col("segmentIndex"), col("totalSegments"),
+          col("startDist"), col("endDist"), col("networklevel"),
+          col("wayId"), col("roadClass"), col("tmMeta")).as("properties"),
+        struct(lit("LineString").as("type"), col("coordinates")).as("geometry"),
+        col("networklevel"), col("geoprox_key"))
+
+  /** S8: FeatureCollection envelope around the features — explicitly a
+    * single-file export utility (the envelope is not parallelizable). */
+  def geojsonFeatureCollection(segments: Dataset[ConflationSegment], path: String): Unit = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val lines = segmentFeatures(segments)
+      .drop("networklevel", "geoprox_key").toJSON
+      .coalesce(1)
+      .mapPartitions { it =>
+        val body = new StringBuilder("""{"type":"FeatureCollection","features":[""")
+        var first = true
+        it.foreach { j =>
+          if (!first) body.append(',')
+          body.append('\n').append(j)
+          first = false
+        }
+        body.append("\n]}")
+        Iterator(body.toString)
+      }
+    lines.write.mode("overwrite").text(path)
+  }
+
+  /** F20: strip the XML-breaking characters the reference strips. */
+  private def sanitize(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, """[<>&"]""", "")
+
+  /** S11: OSM-XML-shaped way elements rendered per partition, ordered. */
+  def osmXmlWays(segments: Dataset[ConflationSegment], path: String): Unit = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments.toDF()
+      .orderBy("shstReferenceId", "segmentIndex")
+      .select(
+        col("wayId"), col("shstReferenceId"), col("segmentIndex"),
+        sanitize(col("roadClass")).as("roadClass"),
+        col("nodeIds"))
+      .map { r =>
+        val nds = r.getSeq[String](4).filter(_ != null)
+          .map(n => s"""    <nd ref="$n"/>""").mkString("\n")
+        s"""  <way id="${r.getString(0)}:${r.getInt(2)}">
+           |$nds
+           |    <tag k="highway" v="${r.getString(3)}"/>
+           |    <tag k="shst_ref" v="${r.getString(1)}"/>
+           |  </way>""".stripMargin
+      }
+      .write.mode("overwrite").text(path)
+  }
+
+  /** S12: inverted node→ways index — nodeId → map(wayId → vertex positions). */
+  def nodeToWaysIndex(segments: Dataset[ConflationSegment]): DataFrame =
+    segments.toDF()
+      .select(col("wayId"), posexplode(col("nodeIds")).as(Seq("node_idx", "node_id")))
+      .filter(col("node_id").isNotNull)
+      .groupBy("node_id", "wayId")
+      .agg(collect_list("node_idx").as("positions"))
+      .groupBy("node_id")
+      .agg(map_from_entries(collect_list(struct(col("wayId"), col("positions"))))
+        .as("ways"))
+
+  /** S13: QA per-feature + summary CSVs. */
+  def qaCsv(qa: DataFrame, summary: DataFrame, basePath: String): Unit = {
+    qa.write.mode("overwrite").option("header", "true").csv(s"$basePath/per_feature")
+    summary.write.mode("overwrite").option("header", "true").csv(s"$basePath/summary")
+  }
+}

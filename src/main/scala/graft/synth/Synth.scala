@@ -160,6 +160,14 @@ object Synth {
     * (targetMapsSQLiteService/index.js:105-115, SURVEY §5.1.8). */
   val SlotsPerRoad = 4
 
+  /** The feature id a url geocodes to — cheap (no geometry), for dedup keys. */
+  def featureId(url: String, nRoads: Int): String = {
+    val road = hmod(url + "/road", nRoads)
+    val tm = if (hmod(url + "/tm", 2) == 0) "npmrds_2026" else "ris_2026"
+    val slot = hmod(url + "/slot", SlotsPerRoad)
+    s"${tm.take(1)}36001r${road}s$slot"
+  }
+
   def geocode(url: String, text: String, nRoads: Int): TargetMapFeature = {
     val road = hmod(url + "/road", nRoads)
     val coords = roadCoords(road, nRoads)
