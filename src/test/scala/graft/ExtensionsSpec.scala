@@ -1,0 +1,58 @@
+package graft
+
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def ringCol = {
+    // a box around half the derived lattice
+    array(
+      array(lit(-73.79995), lit(42.70005)), array(lit(-73.79505), lit(42.70005)),
+      array(lit(-73.79505), lit(42.70495)), array(lit(-73.79995), lit(42.70495)),
+      array(lit(-73.79995), lit(42.70005)))
+  }
+
+  private def geoms = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    .select(
+      array(array(lit(-73.8) + $"l_orderkey" % 100 / 10000.0,
+                  lit(42.7) + $"l_partkey" % 100 / 10000.0)).as("geom"),
+      $"l_orderkey", $"l_linenumber")
+
+  test("within_ring filter gets the cell-cover InSet prefilter") {
+    val q = geoms.filter(graft.functions.geo.within_ring($"geom", ringCol))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("INSET") || optimized.contains("inset") ||
+      optimized.toLowerCase.contains("cell_encode"), optimized)
+    // exact predicate retained (refine step)
+    assert(optimized.contains("within_ring"), optimized)
+  }
+
+  test("rewrite preserves semantics exactly") {
+    val plain = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val q = geoms.filter(graft.functions.geo.within_ring($"geom", ringCol))
+      .select("l_orderkey", "l_linenumber")
+    val withExt = q.collect().map(_.toString).sorted
+    assert(withExt.nonEmpty)
+    // recompute expected count via plain column logic (no extension needed
+    // for correctness — the rule only adds a prefilter)
+    val expected = geoms
+      .filter($"geom"(0)(0) > -73.79995 && $"geom"(0)(0) < -73.79505 &&
+        $"geom"(0)(1) > 42.70005 && $"geom"(0)(1) < 42.70495)
+      .select("l_orderkey", "l_linenumber").collect().map(_.toString).sorted
+    assert(withExt.sameElements(expected))
+  }
+}
