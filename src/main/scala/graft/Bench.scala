@@ -13,13 +13,23 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
-  def buildSession(cpus: String): SparkSession = SparkSession.builder()
-    .master(s"local[$cpus]")
-    .config("spark.sql.shuffle.partitions", cpus)
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  def buildSession(cpus: String): SparkSession = {
+    // shuffle on tmpfs when available: local-mode shuffle IO otherwise
+    // serializes on the single disk (see BENCH.md)
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) {
+        val d = new java.io.File("/dev/shm/spark-local"); d.mkdirs()
+        d.getAbsolutePath
+      } else "/tmp"
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", localDir)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 
   /** Run the conflation pipeline once; returns (segments, tiles, seconds). */
   def conflationThroughput(spark: SparkSession, nPages: Long, nRoads: Int): (Long, Long, Double) = {
@@ -36,8 +46,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "40000").toLong
-    val nRoads = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROADS", "1600").toInt
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toLong
+    val nRoads = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROADS", "16000").toInt
     val spark = buildSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
 

@@ -281,6 +281,49 @@ object ConflationKernel {
     segs.toVector
   }
 
+  /** F19: OSM way-section rank (src/conflation/constants.js:11-21). */
+  val OsmRoadClassRank: Map[String, Int] = Map(
+    "Motorway" -> 0, "Trunk" -> 1, "Primary" -> 2, "Secondary" -> 3,
+    "Tertiary" -> 4, "Residential" -> 5, "Unclassified" -> 6,
+    "Service" -> 7, "Other" -> 8)
+
+  /**
+   * G7: intervals of the underlying OSM way sections along the reference
+   * (getOffsetsAlongShstRefForUnderlyingOsmWays.js:9-135): walk each
+   * section's start/end node ids against the vertex sequence (resuming the
+   * scan where the previous section ended — sections tile the reference),
+   * take the vertices' exact POFF as the interval (no snapping), rank by
+   * road class, then overlap-remove with threshold 0.
+   */
+  def osmWayOffsets(vertices: Vector[RefVertex],
+      waySections: Seq[(String, Seq[String], String, Boolean)],
+      direction: Int, parityInputOrder: Boolean = true): Option[Vector[Interval]] = {
+    var vertexIdx = 0
+    val out = ArrayBuffer.empty[Interval]
+    waySections.foreach { case (wayId, nodeIds, roadClass, _) =>
+      if (nodeIds.nonEmpty) {
+        val startNodeId = nodeIds.head
+        val endNodeId = nodeIds.last
+        var startV: RefVertex = null
+        while (vertexIdx < vertices.length && startV == null) {
+          val v = vertices(vertexIdx); vertexIdx += 1
+          if (v.osmNodeId == startNodeId) startV = v
+        }
+        if (startV == null) return None // reference throws; we punt the ref
+        var endV: RefVertex = null
+        while (vertexIdx < vertices.length && endV == null) {
+          if (vertices(vertexIdx).osmNodeId == endNodeId) endV = vertices(vertexIdx)
+          else vertexIdx += 1
+        }
+        if (endV == null) return None
+        val rank = OsmRoadClassRank.getOrElse(roadClass, OsmRoadClassRank("Other"))
+        out += Interval("osm", wayId, s"$wayId!$direction", 0,
+          isPrimary = true, rank, startV.poff, endV.noff, startV.poff, endV.poff)
+      }
+    }
+    Some(removeOverlaps(out.toSeq, threshold = 0, parityInputOrder))
+  }
+
   /** Full per-reference kernel: raw offsets → snap → per-target-map overlap
     * removal → union → split (src/conflation/run:44-106 control flow). */
   def conflateReference(

@@ -206,6 +206,24 @@ class ConflationKernelSpec extends AnyFunSuite {
     assert(!leakSeg.tmAssignments.exists(_.targetMapId == "b"))
   }
 
+  test("osmWayOffsets: sections tile the reference, ranked, zero-threshold sweep") {
+    // two way sections: n0..n2 and n2..n4
+    val sections = Seq(
+      ("w0", Seq("n0", "n1", "n2"), "Primary", false),
+      ("w1", Seq("n2", "n3", "n4"), "Residential", false))
+    val Some(out) = ConflationKernel.osmWayOffsets(verts, sections, direction = 1)
+    assert(out.length == 2)
+    assert(out(0).targetMapId == "w0" && out(0).startDist == 0.0)
+    assert(out(0).endDist == verts(2).poff)
+    assert(out(1).startDist == verts(2).poff && out(1).endDist == refLen)
+    assert(out(0).rank == 2 && out(1).rank == 5)
+    assert(out.forall(_.targetMap == "osm"))
+    assert(out(0).matchedTargetMapId == "w0!1")
+    // missing node id → None (the reference's throw path)
+    assert(ConflationKernel.osmWayOffsets(verts,
+      Seq(("wX", Seq("n0", "nMISSING"), "Other", false)), 1).isEmpty)
+  }
+
   test("conflateReference end-to-end: two target maps over one reference") {
     // matches: laterally-jittered sub-segments of the reference itself
     val m1 = Array(Array(-73.7995, 42.70005), Array(-73.7862, 42.70005)) // ~start→v2
