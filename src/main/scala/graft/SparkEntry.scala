@@ -218,17 +218,8 @@ object SparkEntry {
     "q26_minhash_lsh" -> ((s, d) =>
       graft.operators.Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")),
 
-    "q27_ngram_jaccard" -> ((s, d) => {
-      import graft.operators.Dedup
-      val sh = t(s, d, "documents")
-        .select(col("doc_id"), col("source"), Dedup.wordShinglesExpr("text", 3).as("sh"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("source"), col("sh").as("sh_b"))
-      a.join(b, "source").filter(col("doc_a") < col("doc_b"))
-        .withColumn("j", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
-        .filter(col("j") >= 0.2)
-        .select("doc_a", "doc_b", "j")
-    }),
+    "q27_ngram_jaccard" -> ((s, d) => graft.operators.Dedup.ngramJaccardPairs(
+      t(s, d, "documents"), "doc_id", "text", "source")),
 
     "q28_simhash" -> ((s, d) =>
       graft.operators.Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",

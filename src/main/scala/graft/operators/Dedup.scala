@@ -31,7 +31,10 @@ object Dedup {
       s"sequence(1, greatest(size(filter(split(lower($textCol), '[^a-z]+'), w -> w != '')) - ${n - 1}, 1)), " +
       s"i -> array_join(slice(filter(split(lower($textCol), '[^a-z]+'), w -> w != ''), i, $n), ' '))))")
 
-  /** MinHash signature: numHashes mins of xxhash64(shingle, i). */
+  /** MinHash signature: numHashes mins of xxhash64(shingle, i).
+    * (Array-column form; the pair pipeline below uses the explode+aggregate
+    * form instead — higher-order functions are interpreted, a 64-expression
+    * min aggregate over exploded shingles is whole-stage codegen'd.) */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i =>
       array_min(transform(shingles, s => xxhash64(s, lit(i))))): _*)
@@ -62,10 +65,22 @@ object Dedup {
       .withColumn("__sh", charShinglesExpr(textCol, shingleK))
       .select(col(idCol).as("__id"), col("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = shingled
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
-      .withColumn("__bands", lshBands(col("__sig"), numHashes, rowsPerBand))
-      .select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__h")))
+    // signature via explode + 64 codegen'd min aggregates (one pass)
+    val sig = shingled
+      .select(col("__id"), explode(col("__sh")).as("__s"))
+      .groupBy("__id")
+      .agg(min(xxhash64(col("__s"), lit(0))).as("h0"),
+        (1 until numHashes).map(i => min(xxhash64(col("__s"), lit(i))).as(s"h$i")): _*)
+    val bands = numHashes / rowsPerBand
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      xxhash64((parts :+ lit(b)): _*)
+    }
+    // persisted: the self-join below would otherwise recompute the whole
+    // shingle-explode + 64-min aggregate subtree for BOTH sides
+    val banded = sig
+      .select(col("__id"), posexplode(array(bandCols: _*)).as(Seq("__b", "__h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = banded.select(col("__id").as("id_a"), col("__b"), col("__h"))
       .join(banded.select(col("__id").as("id_b"), col("__b"), col("__h")), Seq("__b", "__h"))
       .filter(col("id_a") < col("id_b"))
@@ -76,6 +91,32 @@ object Dedup {
       .withColumn("j", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("j") >= threshold)
       .select("id_a", "id_b", "j")
+  }
+
+  /**
+   * Exact n-gram Jaccard for all same-partition pairs, via the scalable
+   * explode-join shape: |A∩B| from a shingle equi-join (codegen'd), then
+   * j = c/(|A|+|B|-c). Pairs sharing no shingle have j=0 and drop below any
+   * positive threshold, so they need never materialize.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      partitionCol: String, n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), col(partitionCol).as("__p"),
+        wordShinglesExpr(textCol, n).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("__id"), size(col("__sh")).as("__sz"))
+    val ex = sh.select(col("__id"), col("__p"), explode(col("__sh")).as("__g"))
+    val common = ex.select(col("__id").as("doc_a"), col("__p"), col("__g"))
+      .join(ex.select(col("__id").as("doc_b"), col("__p"), col("__g")), Seq("__p", "__g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__c"))
+    common
+      .join(sizes.withColumnRenamed("__id", "doc_a").withColumnRenamed("__sz", "__sa"), "doc_a")
+      .join(sizes.withColumnRenamed("__id", "doc_b").withColumnRenamed("__sz", "__sb"), "doc_b")
+      .withColumn("j", round(col("__c").cast("double") /
+        (col("__sa") + col("__sb") - col("__c")), 6))
+      .filter(col("j") >= threshold)
+      .select("doc_a", "doc_b", "j")
   }
 
   /** Pure 64-bit SimHash over tokens (bit-majority of token hashes). */
