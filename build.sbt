@@ -26,10 +26,20 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+)
+// Heap policy: the bench/verify mains (run) want a big pinned, pre-touched
+// heap — lazy page commit under 32-thread allocation otherwise burns more
+// kernel time than user time (observed stime > utime via /proc), inverting
+// thread scaling on this VM. Unit tests must NOT inherit that: a pinned 48g
+// heap would abort every `sbt test` on hosts with less free RAM.
+run / javaOptions ++= Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // commit + zero the heap at startup: lazy page commit under 32-thread
-  // allocation otherwise burns more kernel time than user time (observed
-  // stime > utime via /proc), inverting thread scaling on this VM
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-XX:+AlwaysPreTouch",
 )
+Test / javaOptions ++= Seq(
+  s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "8g")}",
+)
+// Forked `run` output must reach stdout unwrapped (no [info] prefixes):
+// the bench driver parses the single JSON metric line from it.
+run / outputStrategy := Some(StdoutOutput)

@@ -1,0 +1,134 @@
+package graft
+
+import graft.model.{ConflationSegment, ShstReference, TargetMapFeature}
+import graft.operators.ConflationPipeline
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * The smoke-scale deterministic conflation world shared by the q34/q4x
+ * driver queries, built ONCE per session and persisted — the driver's
+ * Verify/Bench runs previously rebuilt the identical pipeline four times
+ * (≈40 s of a 175 s bench round; see VERDICT r1 "Bench hygiene").
+ *
+ * `materializeAll` additionally writes relational projections of the
+ * pipeline's inputs/outputs (plus a few sf-dependent side tables) as
+ * parquet under [[auxDir]], so the driver's DuckDB oracle can verify the
+ * flagship conflation outputs — tile assignment, QA summary, node→ways
+ * index, segment index bookkeeping — as plain SQL over the same rows
+ * (VERDICT r1 "Next round" item 1).
+ */
+object SmokeWorld {
+
+  val NPages = 400L
+  val NRoads = 40
+
+  /** Absolute path the oracle SQL references via the `__AUX__` placeholder;
+    * Verify substitutes it when dumping oracle_sql.json. */
+  def auxDir: String =
+    sys.env.getOrElse("GRAFT_AUX_DIR", "/root/repo/target/verify_aux")
+
+  final case class Handles(
+      features: Dataset[TargetMapFeature],
+      refs: Dataset[ShstReference],
+      segments: Dataset[ConflationSegment])
+
+  @volatile private var cached: (SparkSession, Handles) = null
+
+  /** Build (or fetch the session-cached) smoke world. */
+  def apply(spark: SparkSession): Handles = synchronized {
+    if (cached == null || (cached._1 ne spark) || cached._1.sparkContext.isStopped) {
+      val p = ConflationPipeline.pages(spark, NPages, NRoads)
+      val f = ConflationPipeline.features(p, NRoads).persist(StorageLevel.MEMORY_AND_DISK)
+      val r = ConflationPipeline.references(spark, NRoads).persist(StorageLevel.MEMORY_AND_DISK)
+      val segs = ConflationPipeline
+        .conflate(r, ConflationPipeline.matches(ConflationPipeline.matchCandidates(f, r)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cached = (spark, Handles(f, r, segs))
+    }
+    cached._2
+  }
+
+  private def write(df: DataFrame, dir: String, name: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+
+  /** q31's deterministic query points (nation-key lattice, 25 points). */
+  def knnPoints(spark: SparkSession): DataFrame =
+    spark.range(25).toDF("point_id")
+      .withColumn("lon", lit(-73.85) + col("point_id") % 20 / lit(100.0))
+      .withColumn("lat", lit(42.6) + col("point_id") % 15 / lit(100.0))
+
+  /**
+   * Write every oracle side table under `dir`:
+   *
+   *  - smoke-world projections: `aux_refs`, `aux_features`, `aux_segments`,
+   *    `aux_seg_tm`, `aux_seg_nodes`, `aux_knn_dists`
+   *  - sf-dependent side tables (over `sfDir`'s documents/embeddings):
+   *    `aux_doc_simhash`, `aux_ann_candidates`, `aux_media_meta`
+   *
+   * The smoke projections let DuckDB recompute segment bookkeeping
+   * (row_number/count vs the kernel's 1-based segmentIndex/totalSegments),
+   * networklevel (roadClass rank + oneWay), tiles (the q16 math over first
+   * vertices), QA sums, and the node→ways index. The sf tables pin the
+   * non-SQL kernels' *blocking completeness* (simhash bands = brute-force
+   * all-pairs; LSH rank = exact cosine rank over the candidate set; cell-
+   * ring kNN = true top-k over the full distance matrix).
+   */
+  def materializeAll(spark: SparkSession, sfDir: String, dir: String = auxDir): Unit = {
+    val h = apply(spark)
+
+    write(h.refs.toDF().select(col("shstReferenceId"), col("roadClass"), col("oneWay")),
+      dir, "aux_refs")
+
+    // input_km stays UNROUNDED: the q42 oracle's sums must add the exact
+    // same doubles qaReport adds, or the 6-dp-rounded totals drift
+    write(h.features.toDF().select(col("targetMap"), col("targetMapId"), col("direction"),
+      graft.functions.geo.geodesic_length_km(col("geometry")).as("input_km")),
+      dir, "aux_features")
+
+    val segDf = h.segments.toDF()
+    write(segDf.select(col("shstReferenceId"), col("segmentIndex"), col("totalSegments"),
+      col("startDist"), col("endDist"), col("networklevel"), col("roadClass"), col("wayId"),
+      element_at(element_at(col("coordinates"), 1), 1).as("first_lon"),
+      element_at(element_at(col("coordinates"), 1), 2).as("first_lat"),
+      size(col("tmMeta")).as("n_tm")),
+      dir, "aux_segments")
+
+    write(segDf.select(col("shstReferenceId"), col("segmentIndex"),
+        (col("endDist") - col("startDist")).as("len_km"), explode(col("tmMeta")).as("m"))
+      .select(col("shstReferenceId"), col("segmentIndex"), col("len_km"),
+        col("m.targetMap").as("targetMap"), col("m.targetMapId").as("targetMapId"),
+        col("m.matchedTargetMapId").as("matchedTargetMapId"),
+        col("m.matchedTargetMapMicroIdx").as("matchedTargetMapMicroIdx")),
+      dir, "aux_seg_tm")
+
+    write(segDf.select(col("wayId"), posexplode(col("nodeIds")).as(Seq("node_idx", "node_id")))
+      .filter(col("node_id").isNotNull),
+      dir, "aux_seg_nodes")
+
+    // full point×reference distance matrix (25 × |refs| — tiny); the q31
+    // oracle takes exact top-k over it, checking cell-ring completeness
+    write(Knn_allDistances(knnPoints(spark), h.refs), dir, "aux_knn_dists")
+
+    // --- sf-dependent side tables ---------------------------------------
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    write(graft.operators.Dedup.simhashTable(docs, "doc_id", "text"),
+      dir, "aux_doc_simhash")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    write(graft.operators.Similarity.lshCandidates(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding"),
+      dir, "aux_ann_candidates")
+
+    val media = docs.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("media"))
+    write(graft.operators.Multimodal.decodeAndExtract(media)
+      .select(col("media_id"), col("n_frames")),
+      dir, "aux_media_meta")
+  }
+
+  private def Knn_allDistances(points: DataFrame,
+      refs: Dataset[ShstReference]): DataFrame =
+    graft.operators.Knn.allDistances(points, refs)
+}

@@ -27,8 +27,7 @@ object SparkEntry {
       .withColumn("lat2", lit(42.7) + col("l_linenumber") % 100 / lit(10000.0))
 
   /** Flagship: the conflation pipeline end-to-end at smoke scale. */
-  def entry(spark: SparkSession): DataFrame =
-    ConflationPipeline.run(spark, nPages = 400, nRoads = 40).toDF()
+  def entry(spark: SparkSession): DataFrame = SmokeWorld(spark).segments.toDF()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregations (A1, A3, A8) ----
@@ -221,9 +220,13 @@ object SparkEntry {
     "q27_ngram_jaccard" -> ((s, d) => graft.operators.Dedup.ngramJaccardPairs(
       t(s, d, "documents"), "doc_id", "text", "source")),
 
+    // maxHamming=3 (the Manku-et-al near-dup radius): bands are derived as
+    // maxHamming+1, so candidate generation is pigeonhole-complete — the
+    // DuckDB oracle brute-forces all pairs over the materialized simhash
+    // table and must agree exactly.
     "q28_simhash" -> ((s, d) =>
       graft.operators.Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-        maxHamming = 16)),
+        maxHamming = 3)),
 
     "q29_ann_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -237,13 +240,8 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
     }),
 
-    "q31_knn_cells" -> ((s, d) => {
-      val pts = t(s, d, "nation").select(col("n_nationkey").cast("long").as("point_id"),
-        (lit(-73.85) + col("n_nationkey") % 20 / lit(100.0)).as("lon"),
-        (lit(42.6) + col("n_nationkey") % 15 / lit(100.0)).as("lat"))
-      graft.operators.Knn.nearestReferences(
-        pts, ConflationPipeline.references(s, 40), k = 3)
-    }),
+    "q31_knn_cells" -> ((s, _) => graft.operators.Knn.nearestReferences(
+      SmokeWorld.knnPoints(s), SmokeWorld(s).refs, k = 3)),
 
     "q32_multimodal_decode" -> ((s, d) => {
       val media = t(s, d, "documents")
@@ -262,25 +260,31 @@ object SparkEntry {
     }),
 
     "q34_node_ways_index" -> ((s, _) => graft.operators.Sinks.nodeToWaysIndex(
-      ConflationPipeline.run(s, nPages = 400, nRoads = 40))
+      SmokeWorld(s).segments)
       .select(col("node_id"), size(map_keys(col("ways"))).as("n_ways"))),
 
-    // ---- conflation pipeline (rows-only; ScalaTest owns the oracle) ----
+    // ---- conflation pipeline over the session-cached smoke world; the
+    // ---- DuckDB oracles recompute the bookkeeping relationally over the
+    // ---- parquet projections Verify materializes under __AUX__ ----
     "q40_conflation" -> ((s, _) =>
-      ConflationPipeline.run(s, nPages = 400, nRoads = 40).toDF()
+      SmokeWorld(s).segments.toDF()
         .select("shstReferenceId", "segmentIndex", "totalSegments",
           "startDist", "endDist", "networklevel")),
 
-    "q41_conflation_tiles" -> ((s, _) => ConflationPipeline.tiles(
-      ConflationPipeline.run(s, nPages = 400, nRoads = 40), zoom = 12)),
+    "q41_conflation_tiles" -> ((s, _) => {
+      val tiles = ConflationPipeline.tiles(SmokeWorld(s).segments, zoom = 12)
+      tiles.select(col("tile_x"), col("tile_y"), col("n_segments"),
+        round(col("total_km"), 6).as("total_km"), col("match_density"), col("zoom"))
+    }),
 
     "q42_qa_summary" -> ((s, _) => {
-      val p = ConflationPipeline.pages(s, 400, 40)
-      val f = ConflationPipeline.features(p, 40)
-      val r = ConflationPipeline.references(s, 40)
-      val segs = ConflationPipeline.conflate(r,
-        ConflationPipeline.matches(ConflationPipeline.matchCandidates(f, r)))
-      ConflationPipeline.qaSummary(ConflationPipeline.qaReport(f, segs))
+      val h = SmokeWorld(s)
+      ConflationPipeline.qaSummary(ConflationPipeline.qaReport(h.features, h.segments))
+        .select(col("targetMap"), col("n_features"), col("n_matched"),
+          round(col("total_input_km"), 6).as("total_input_km"),
+          round(col("passing_km"), 6).as("passing_km"),
+          round(col("match_rate"), 6).as("match_rate"),
+          round(col("passing_ratio"), 6).as("passing_ratio"))
     })
   )
 
@@ -321,7 +325,7 @@ object SparkEntry {
         | FROM orders) WHERE rn < 3""".stripMargin,
 
     "q08_lag_collapse" ->
-      """SELECT o_custkey, sum(chg) AS n_status_changes, count(*) AS n_orders FROM (
+      """SELECT o_custkey, CAST(sum(chg) AS BIGINT) AS n_status_changes, count(*) AS n_orders FROM (
         | SELECT o_custkey,
         |  CASE WHEN prev IS NULL OR prev = o_orderstatus THEN 0 ELSE 1 END AS chg
         | FROM (SELECT o_custkey, o_orderstatus,
@@ -416,7 +420,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q21_token_count" ->
-      """SELECT lang, sum(len) AS total_tokens, count(*) AS n_docs FROM (
+      """SELECT lang, CAST(sum(len) AS BIGINT) AS total_tokens, count(*) AS n_docs FROM (
         | SELECT lang, array_length(regexp_split_to_array(trim(text), '\s+')) AS len
         | FROM documents) GROUP BY 1""".stripMargin,
 
@@ -497,6 +501,105 @@ object SparkEntry {
         |  SELECT doc_id AS media_id,
         |   64 + (octet_length(encode(text)) % 256) AS width,
         |   64 + ((octet_length(encode(text)) * 7) % 256) AS height
-        |  FROM documents))""".stripMargin
+        |  FROM documents))""".stripMargin,
+
+    // ---- oracles over the Verify-materialized aux tables (__AUX__ is
+    // ---- substituted with SmokeWorld.auxDir when Verify dumps the json).
+    // ---- Each one INDEPENDENTLY recomputes in SQL what the Spark-side
+    // ---- blocking/bookkeeping claims: simhash banding vs brute-force
+    // ---- all-pairs, LSH rank vs exact cosine rank, cell-ring kNN vs the
+    // ---- full distance matrix, kernel segment indices vs window
+    // ---- recomputation, tiles vs the q16 math, QA vs plain joins+sums.
+    "q28_simhash" ->
+      """SELECT id_a, id_b, hamming FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        | FROM read_parquet('__AUX__/aux_doc_simhash/*.parquet') a
+        | JOIN read_parquet('__AUX__/aux_doc_simhash/*.parquet') b
+        |   ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3""".stripMargin,
+
+    "q30_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT query_id, neighbor_id
+        |  FROM read_parquet('__AUX__/aux_ann_candidates/*.parquet')),
+        |s AS (SELECT c.query_id, c.neighbor_id,
+        |   round(list_dot_product(q.v, n.v)
+        |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS sim
+        | FROM c JOIN e q ON c.query_id = q.vec_id JOIN e n ON c.neighbor_id = n.vec_id)
+        |SELECT query_id, neighbor_id, rank, sim FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        | FROM s) WHERE rank <= 5""".stripMargin,
+
+    "q31_knn_cells" ->
+      """SELECT point_id, "shstReferenceId", rank, dist_km FROM (
+        | SELECT point_id, "shstReferenceId" AS "shstReferenceId", dist_km,
+        |  row_number() OVER (PARTITION BY point_id ORDER BY dist_km, "shstReferenceId") AS rank
+        | FROM read_parquet('__AUX__/aux_knn_dists/*.parquet'))
+        |WHERE rank <= 3""".stripMargin,
+
+    "q33_frame_sample" ->
+      """SELECT media_id, CAST(floor((n_frames + 1) / 2.0) AS BIGINT) AS n_sampled
+        |FROM read_parquet('__AUX__/aux_media_meta/*.parquet')""".stripMargin,
+
+    "q34_node_ways_index" ->
+      """SELECT node_id, count(DISTINCT "wayId") AS n_ways
+        |FROM read_parquet('__AUX__/aux_seg_nodes/*.parquet') GROUP BY 1""".stripMargin,
+
+    "q40_conflation" ->
+      """SELECT s."shstReferenceId" AS "shstReferenceId",
+        | row_number() OVER (PARTITION BY s."shstReferenceId" ORDER BY s."startDist")
+        |   AS "segmentIndex",
+        | count(*) OVER (PARTITION BY s."shstReferenceId") AS "totalSegments",
+        | s."startDist" AS "startDist", s."endDist" AS "endDist",
+        | (CAST(CASE r."roadClass" WHEN 'Motorway' THEN 0 WHEN 'Trunk' THEN 1
+        |    WHEN 'Primary' THEN 2 WHEN 'Secondary' THEN 3 WHEN 'Tertiary' THEN 4
+        |    WHEN 'Residential' THEN 5 WHEN 'Unclassified' THEN 6 WHEN 'Service' THEN 7
+        |    ELSE 8 END AS DOUBLE)
+        |  + CASE WHEN r."oneWay" THEN CAST(0.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+        |   AS networklevel
+        |FROM read_parquet('__AUX__/aux_segments/*.parquet') s
+        |JOIN read_parquet('__AUX__/aux_refs/*.parquet') r
+        |  ON s."shstReferenceId" = r."shstReferenceId"""".stripMargin,
+
+    "q41_conflation_tiles" ->
+      """SELECT tile_x, tile_y, count(*) AS n_segments,
+        | round(sum(len_km), 6) AS total_km,
+        | CAST(sum(n_tm) AS BIGINT) AS match_density, 12 AS zoom
+        |FROM (
+        | SELECT CAST(least(greatest(floor((first_lon + 180.0)/360.0*4096), 0), 4095) AS BIGINT) AS tile_x,
+        |  CAST(least(greatest(floor((90.0 - first_lat)/180.0*4096), 0), 4095) AS BIGINT) AS tile_y,
+        |  ("endDist" - "startDist") AS len_km, n_tm
+        | FROM read_parquet('__AUX__/aux_segments/*.parquet')
+        | WHERE 12 >= (CASE WHEN networklevel <= 1 THEN 3 WHEN networklevel <= 2 THEN 10
+        |   WHEN networklevel <= 3 THEN 12 ELSE 13 END))
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q42_qa_summary" ->
+      """WITH ol AS (
+        | SELECT t."targetMap" AS tm, t."targetMapId" AS tmid,
+        |  sum(CASE WHEN regexp_matches(t."targetMap", '^ris_\d{4}$') AND NOT r."oneWay"
+        |    THEN t.len_km / 2 ELSE t.len_km END) AS output_km
+        | FROM read_parquet('__AUX__/aux_seg_tm/*.parquet') t
+        | JOIN read_parquet('__AUX__/aux_refs/*.parquet') r
+        |   ON t."shstReferenceId" = r."shstReferenceId"
+        | GROUP BY 1, 2),
+        |qa AS (
+        | SELECT f."targetMap" AS "targetMap", f.input_km,
+        |  coalesce(ol.output_km, 0.0) AS output_km
+        | FROM read_parquet('__AUX__/aux_features/*.parquet') f
+        | LEFT JOIN ol ON f."targetMap" = ol.tm AND f."targetMapId" = ol.tmid)
+        |SELECT "targetMap", count(*) AS n_features,
+        | CAST(sum(CASE WHEN output_km > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        | round(sum(input_km), 6) AS total_input_km,
+        | round(sum(CASE WHEN abs((output_km - input_km)/input_km) <= 0.05
+        |   THEN input_km ELSE 0.0 END), 6) AS passing_km,
+        | round(CAST(sum(CASE WHEN output_km > 0 THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 6)
+        |   AS match_rate,
+        | round(sum(CASE WHEN abs((output_km - input_km)/input_km) <= 0.05
+        |   THEN input_km ELSE 0.0 END)/sum(input_km), 6) AS passing_ratio
+        |FROM qa GROUP BY 1""".stripMargin
   )
 }

@@ -103,4 +103,5 @@ case class ConflationSegment(
     coordinates: Seq[Seq[Double]],
     wayId: String,
     roadClass: String,
+    oneWay: Boolean,
     tmMeta: Seq[SegmentTmMeta])

@@ -103,6 +103,11 @@ object ConflationPipeline {
   def matches(candidates: DataFrame): DataFrame =
     MatchPostProcessor(scoredCandidates(candidates)).toDF()
 
+  /** Target maps whose features are bidirectional (RIS-style): they match
+    * BOTH directed references of a two-way road — which is exactly why the
+    * reference's QA halves their output length (qaSQLiteService:104-117). */
+  val UndirectedTmPattern = "^ris_\\d{4}$"
+
   /** Refine candidates into scored matches (one row per retained pair). */
   def scoredCandidates(candidates: DataFrame, hausdorffKm: Double = MatchHausdorffKm): DataFrame = {
     val fFirst = element_at($col("f_geom"), 1)
@@ -114,11 +119,18 @@ object ConflationPipeline {
     val parts = candidates.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val scored = candidates
       .repartition(parts, $col("feature_id"), $col("ref_id"))
-      .withColumn("s_raw", locate_along($col("r_geom"),
+      .withColumn("s0", locate_along($col("r_geom"),
         element_at(fFirst, 1), element_at(fFirst, 2)))
-      .withColumn("e_raw", locate_along($col("r_geom"),
+      .withColumn("e0", locate_along($col("r_geom"),
         element_at(fLast, 1), element_at(fLast, 2)))
-      // direction gate: opposite-direction refs project inverted
+      // direction gate: opposite-direction refs project inverted (s0 > e0).
+      // Directed target maps drop those; bidirectional (RIS-style) features
+      // legitimately ride the opposite reference — accept with the interval
+      // swapped, so the slice stays in reference direction.
+      .withColumn("rev", $col("targetMap").rlike(UndirectedTmPattern) &&
+        ($col("s0") - $col("e0") > lit(MinOverlapKm)))
+      .withColumn("s_raw", when($col("rev"), $col("e0")).otherwise($col("s0")))
+      .withColumn("e_raw", when($col("rev"), $col("s0")).otherwise($col("e0")))
       .filter($col("e_raw") - $col("s_raw") > lit(MinOverlapKm))
       .withColumn("match_geom", line_slice_along($col("r_geom"), $col("s_raw"), $col("e_raw")))
       // one-sided: the ref slice must lie along the feature (the feature may
@@ -200,7 +212,7 @@ object ConflationPipeline {
           row.toIntersectionId, s.segmentIndex, s.totalSegments,
           s.startDist, s.endDist, nl,
           s.nodeIds, s.coordinates.map(_.toSeq),
-          row.wayId, row.roadClass,
+          row.wayId, row.roadClass, row.oneWay,
           s.tmAssignments.map(a => SegmentTmMeta(a.targetMap, a.targetMapId,
             a.matchedTargetMapId, a.matchedTargetMapMicroIdx)))
       }
@@ -275,15 +287,22 @@ object ConflationPipeline {
   }
 
   /** QA length-conservation report (qaSQLiteService/index.js:75-147):
-    * per target-map id, input length vs Σ assigned output lengths. */
+    * per target-map id, input length vs Σ assigned output lengths. A
+    * bidirectional (non-oneWay) road emits forward AND backward references,
+    * so its segments count a `ris_\d{4}` feature's length twice — the
+    * reference halves the output contribution for those
+    * (qaSQLiteService/index.js:104-117). */
   def qaReport(featuresDs: Dataset[TargetMapFeature],
       segments: Dataset[ConflationSegment]): DataFrame = {
     val inputLens = featuresDs.toDF()
       .select($col("targetMap"), $col("targetMapId"),
         geodesic_length_km($col("geometry")).as("input_km"))
     val outputLens = segments.toDF()
-      .select(explode($col("tmMeta")).as("m"),
+      .select(explode($col("tmMeta")).as("m"), $col("oneWay"),
         ($col("endDist") - $col("startDist")).as("len_km"))
+      .withColumn("len_km", when(
+        $col("m.targetMap").rlike("^ris_\\d{4}$") && !$col("oneWay"),
+        $col("len_km") / 2).otherwise($col("len_km")))
       .groupBy($col("m.targetMap").as("targetMap"), $col("m.targetMapId").as("targetMapId"))
       .agg(sum("len_km").as("output_km"))
     inputLens.join(outputLens, Seq("targetMap", "targetMapId"), "left")

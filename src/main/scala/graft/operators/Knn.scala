@@ -44,13 +44,18 @@ object Knn {
       .select("point_id", "shstReferenceId", "rank", "dist_km")
   }
 
-  /** Exact brute-force baseline (points × all refs) for recall checks. */
-  def bruteForce(points: DataFrame, refs: Dataset[ShstReference], k: Int): DataFrame = {
-    val r = refs.toDF().select(col("shstReferenceId"), col("coordinates"))
-    val w = Window.partitionBy("point_id").orderBy(col("dist_km"), col("shstReferenceId"))
-    points.crossJoin(r)
+  /** Exact full distance matrix (points × all refs) — the recall baseline's
+    * input, and the q31 oracle side table (DuckDB re-ranks it exactly). */
+  def allDistances(points: DataFrame, refs: Dataset[ShstReference]): DataFrame =
+    points.crossJoin(refs.toDF().select(col("shstReferenceId"), col("coordinates")))
       .withColumn("dist_km", round(
         element_at(nearest_point_on_line(col("coordinates"), col("lon"), col("lat")), 4), 6))
+      .select("point_id", "shstReferenceId", "dist_km")
+
+  /** Exact brute-force baseline (points × all refs) for recall checks. */
+  def bruteForce(points: DataFrame, refs: Dataset[ShstReference], k: Int): DataFrame = {
+    val w = Window.partitionBy("point_id").orderBy(col("dist_km"), col("shstReferenceId"))
+    allDistances(points, refs)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("point_id", "shstReferenceId", "rank", "dist_km")

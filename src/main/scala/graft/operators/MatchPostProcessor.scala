@@ -92,8 +92,17 @@ object MatchPostProcessor {
     }
   }
 
+  /** Directedness per target map (the reference configures it per target
+    * map): RIS-style maps are bidirectional — their features match both
+    * directed references of a two-way road, and the toposort must accept
+    * the opposite-pair chains (sortFeatures.js bidirectional mode). */
+  def defaultDirectedFor(targetMap: String): Boolean =
+    !targetMap.matches("^ris_\\d{4}$")
+
   /** Distributed operator: one shuffle on (targetMap, targetMapId). */
-  def apply(scored: DataFrame, directed: Boolean = true, iterationId: Int = 0): Dataset[MatchOut] = {
+  def apply(scored: DataFrame,
+      directedFor: String => Boolean = defaultDirectedFor,
+      iterationId: Int = 0): Dataset[MatchOut] = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored.select(
@@ -104,6 +113,6 @@ object MatchPostProcessor {
       .as[MatchIn]
       .groupByKey(m => (m.targetMap, m.targetMapId))
       .flatMapGroups((key: (String, String), it: Iterator[MatchIn]) =>
-        processGroup(key._2, directed, it.toSeq, iterationId).iterator)
+        processGroup(key._2, directedFor(key._1), it.toSeq, iterationId).iterator)
   }
 }

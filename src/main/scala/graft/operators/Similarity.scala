@@ -58,26 +58,42 @@ object Similarity {
     }.reduce(_ + _)
 
   /**
-   * LSH-bucketed approximate top-k: candidates share the exact bucket or a
-   * bucket at Hamming distance 1 (one flipped hyperplane bit) — the bucket
-   * analog of cell-ring expansion. Same output shape as bruteForceTopK.
+   * LSH candidate pairs: (query_id, neighbor_id) sharing the exact bucket or
+   * a bucket at Hamming distance 1 (one flipped hyperplane bit) — the bucket
+   * analog of cell-ring expansion. Slim (ids only): vectors re-attach after
+   * the distinct, so the bucket join never shuffles embedding payloads.
    */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+  def lshCandidates(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, nPlanes: Int = 8): DataFrame = {
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), nPlanes))
+      .select("neighbor_id", "bucket")
     val probes = (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))) :+
       col("qbucket")
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qbucket", lshBucket(col("qv"), nPlanes))
       .withColumn("bucket", explode(array(probes: _*)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      .select("query_id", "bucket")
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qv", "cv").distinct()
+      .select("query_id", "neighbor_id").distinct()
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: exact cosine rank over the candidate
+   * set. Same output shape as bruteForceTopK.
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    lshCandidates(queries, corpus, idCol, vecCol, nPlanes)
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
+        Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
