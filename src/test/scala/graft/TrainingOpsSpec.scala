@@ -102,6 +102,79 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("ngram df-cap: a stop-phrase shared by 1k docs can't go quadratic") {
+    // 1000 docs that share ONE hot trigram but are otherwise unique, plus a
+    // planted true near-dup pair. Without the df cap the hot gram alone
+    // materializes ~500k join rows; with it, only real overlaps pair up.
+    val hot = "shared hot stop phrase"
+    val rows = (0 until 1000).map { i =>
+      (i.toLong, s"$hot unique${i}a unique${i}b unique${i}c unique${i}d", "s")
+    } :+ (2000L, "alpha beta gamma delta epsilon zeta eta theta", "s") :+
+      (2001L, "alpha beta gamma delta epsilon zeta eta iota", "s")
+    val df = rows.toDF("doc_id", "text", "source")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", "source",
+      threshold = 0.2, maxDf = 50).cache()
+    // the planted pair survives; no pair exists on the hot gram alone
+    val got = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((2000L, 2001L)), s"got=$got")
+    // candidate volume stayed linear: the only shared grams below the cap
+    // are the planted pair's — assert by construction (output is 1 row)
+    assert(pairs.count() == 1)
+  }
+
+  test("ngram df-cap: jaccard computed over the REDUCED universe consistently") {
+    // two docs share a capped gram + some kept grams: the capped gram must
+    // vanish from both |A| and |B| so j stays a valid Jaccard
+    val hot = (0 until 60).map(i => (i.toLong, s"common hot gram only$i x$i y$i z$i", "s"))
+    val df = hot.toDF("doc_id", "text", "source")
+    // every doc pair shares exactly the (capped) "common hot gram" trigram
+    // and nothing else → after the cap, intersection is empty → no pairs
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", "source",
+      threshold = 0.01, maxDf = 10)
+    assert(pairs.count() == 0)
+  }
+
+  test("simhash banding is pigeonhole-complete for the advertised radius") {
+    // maxHamming=7 → 8 bands of 8 bits. Docs share a large token base and
+    // differ in a few binary token choices, yielding pairs across the whole
+    // 0..7 hamming range — including >3, where the old fixed 4×16-bit
+    // banding had no pigeonhole guarantee.
+    val baseToks = (0 until 12).map(k => s"base$k").mkString(" ")
+    val rows = (0 until 60).map { i =>
+      val variable = (0 until 6).map { k =>
+        if ((i >> k) % 2 == 0) s"tok${('a' + k).toChar}" else s"alt${('a' + k).toChar}"
+      }.mkString(" ")
+      (i.toLong, s"$baseToks $variable")
+    }
+    val base = rows.toDF("doc_id", "text")
+    val pairs16 = Dedup.simhashPairs(base, "doc_id", "text", maxHamming = 7)
+    // brute-force agreement over the simhash table
+    val t = Dedup.simhashTable(base, "doc_id", "text")
+    val a = t.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
+    val b = t.select(col("doc_id").as("id_b"), col("simhash").as("hb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 7)
+      .select("id_a", "id_b", "hamming").collect().map(_.toString).toSet
+    val banded = pairs16.select("id_a", "id_b", "hamming")
+      .collect().map(_.toString).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture must contain pairs within hamming<=7")
+  }
+
+  test("simhash band layout covers all 64 bits without overlap") {
+    for (nBands <- Seq(1, 4, 8, 17, 32)) {
+      val layout = Dedup.bandLayout(nBands)
+      assert(layout.map(_._2).sum == 64)
+      assert(layout.head._1 == 0)
+      layout.sliding(2).foreach {
+        case Seq((lo1, w1), (lo2, _)) => assert(lo1 + w1 == lo2)
+        case _ =>
+      }
+      assert(layout.forall(_._2 >= 1))
+    }
+  }
+
   test("deterministic: rerunning minhash yields identical pairs") {
     val p1 = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .select("id_a", "id_b", "j").collect().map(_.toString).sorted
