@@ -43,7 +43,8 @@ object SmokeWorld {
       val f = ConflationPipeline.features(p, NRoads).persist(StorageLevel.MEMORY_AND_DISK)
       val r = ConflationPipeline.references(spark, NRoads).persist(StorageLevel.MEMORY_AND_DISK)
       val segs = ConflationPipeline
-        .conflate(r, ConflationPipeline.matches(ConflationPipeline.matchCandidates(f, r)))
+        .conflate(r, ConflationPipeline.enrichMatches(f,
+          ConflationPipeline.matches(ConflationPipeline.matchCandidates(f, r))))
         .persist(StorageLevel.MEMORY_AND_DISK)
       cached = (spark, Handles(f, r, segs))
     }
@@ -92,6 +93,7 @@ object SmokeWorld {
       col("startDist"), col("endDist"), col("networklevel"), col("roadClass"), col("wayId"),
       element_at(element_at(col("coordinates"), 1), 1).as("first_lon"),
       element_at(element_at(col("coordinates"), 1), 2).as("first_lat"),
+      graft.functions.geo.final_bearing(col("coordinates")).as("seg_bearing"),
       size(col("tmMeta")).as("n_tm")),
       dir, "aux_segments")
 
@@ -100,7 +102,8 @@ object SmokeWorld {
       .select(col("shstReferenceId"), col("segmentIndex"), col("len_km"),
         col("m.targetMap").as("targetMap"), col("m.targetMapId").as("targetMapId"),
         col("m.matchedTargetMapId").as("matchedTargetMapId"),
-        col("m.matchedTargetMapMicroIdx").as("matchedTargetMapMicroIdx")),
+        col("m.matchedTargetMapMicroIdx").as("matchedTargetMapMicroIdx"),
+        col("m.megaDir").as("megaDir")),
       dir, "aux_seg_tm")
 
     write(segDf.select(col("wayId"), posexplode(col("nodeIds")).as(Seq("node_idx", "node_id")))

@@ -285,7 +285,18 @@ object SparkEntry {
           round(col("passing_km"), 6).as("passing_km"),
           round(col("match_rate"), 6).as("match_rate"),
           round(col("passing_ratio"), 6).as("passing_ratio"))
-    })
+    }),
+
+    // P8: the reference's reduced output projection — abbreviated per-tm
+    // id/idx (composite id split on [|!], W1 conflation idx) + the RIS
+    // mega-direction majority vote with micro-direction fallback
+    "q43_output_projection" -> ((s, _) =>
+      graft.operators.Sinks.outputProperties(SmokeWorld(s).segments)
+        .select(col("shstReferenceId"), col("segmentIndex"),
+          concat(col("segmentIndex"), lit(":"), col("totalSegments")).as("split_seg"),
+          col("networklevel"),
+          col("tmc26id"), col("tmc26idx"), col("ris26id"), col("ris26idx"),
+          col("osmid"), col("osmidx"), col("dir")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -609,6 +620,41 @@ object SparkEntry {
         |   AS match_rate,
         | round(sum(CASE WHEN abs((output_km - input_km)/input_km) <= 0.05
         |   THEN input_km ELSE 0.0 END)/sum(input_km), 6) AS passing_ratio
-        |FROM qa GROUP BY 1""".stripMargin
+        |FROM qa GROUP BY 1""".stripMargin,
+
+    "q43_output_projection" ->
+      """WITH idx AS (
+        | SELECT "shstReferenceId" AS rid, "segmentIndex" AS sidx, "targetMap" AS tm,
+        |  regexp_extract("matchedTargetMapId", '^[^|!]+') AS mid,
+        |  row_number() OVER (PARTITION BY "targetMap", "targetMapId"
+        |    ORDER BY "matchedTargetMapMicroIdx", "shstReferenceId", "segmentIndex") - 1 AS cidx,
+        |  "megaDir" AS megadir
+        | FROM read_parquet('__AUX__/aux_seg_tm/*.parquet')),
+        |per AS (
+        | SELECT rid, sidx,
+        |  max(CASE WHEN tm = 'npmrds_2026' THEN mid END) AS tmc26id,
+        |  max(CASE WHEN tm = 'npmrds_2026' THEN cidx END) AS tmc26idx,
+        |  max(CASE WHEN tm = 'ris_2026' THEN mid END) AS ris26id,
+        |  max(CASE WHEN tm = 'ris_2026' THEN cidx END) AS ris26idx,
+        |  max(CASE WHEN tm = 'osm' THEN mid END) AS osmid,
+        |  max(CASE WHEN tm = 'osm' THEN cidx END) AS osmidx
+        | FROM idx GROUP BY 1, 2),
+        |vote AS (
+        | SELECT rid, sidx, megadir FROM (
+        |  SELECT rid, sidx, megadir, row_number() OVER (PARTITION BY rid, sidx
+        |    ORDER BY count(*) DESC, megadir) AS rn
+        |  FROM idx WHERE tm LIKE 'ris%' AND megadir IS NOT NULL
+        |  GROUP BY rid, sidx, megadir)
+        | WHERE rn = 1)
+        |SELECT s."shstReferenceId" AS "shstReferenceId",
+        | s."segmentIndex" AS "segmentIndex",
+        | concat(s."segmentIndex", ':', s."totalSegments") AS split_seg,
+        | s.networklevel,
+        | p.tmc26id, p.tmc26idx, p.ris26id, p.ris26idx, p.osmid, p.osmidx,
+        | coalesce(v.megadir, CASE WHEN s.seg_bearing <= 45 OR s.seg_bearing > 315
+        |   THEN 'NORTHBOUND' ELSE 'EASTBOUND' END) AS dir
+        |FROM read_parquet('__AUX__/aux_segments/*.parquet') s
+        |LEFT JOIN per p ON s."shstReferenceId" = p.rid AND s."segmentIndex" = p.sidx
+        |LEFT JOIN vote v ON s."shstReferenceId" = v.rid AND s."segmentIndex" = v.sidx""".stripMargin
   )
 }

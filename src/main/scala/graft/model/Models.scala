@@ -35,6 +35,7 @@ case class TargetMapFeature(
     direction: Option[String],
     roadOrder: Option[Double],
     targetMapMicroLevelBearing: Int,
+    targetMapMesoLevelBearing: Int,
     geometry: Seq[Seq[Double]])
 
 /** OSM way section carried on a SharedStreets geometry's metadata
@@ -79,12 +80,16 @@ case class ShstMatch(
     score: Double,
     geometry: Seq[Seq[Double]])
 
-/** Per-target-map metadata attached to a conflation segment. */
+/** Per-target-map metadata attached to a conflation segment. `megaDir` is
+  * the match's mega-level direction of travel (addMegaLevelMetadata.js:34-45)
+  * — the RIS majority-vote input of the output projection
+  * (outputConflationNDSJON:36-59,75-92); None for osm intervals. */
 case class SegmentTmMeta(
     targetMap: String,
     targetMapId: String,
     matchedTargetMapId: String,
-    matchedTargetMapMicroIdx: Int)
+    matchedTargetMapMicroIdx: Int,
+    megaDir: Option[String])
 
 /** One split piece of a SharedStreets reference — the engine's signature
   * 1→N output row (reference: partitionShstReferenceByTargetMapsMatches/

@@ -331,7 +331,9 @@ object ConflationKernel {
       waySectionNodeIds: Seq[Seq[String]],
       matchesByTargetMap: Seq[(String, Seq[(Interval, Array[Array[Double]])])],
       parityInputOrder: Boolean = true,
-      parityRound6: Boolean = false): Vector[SplitSegment] = {
+      parityRound6: Boolean = false,
+      waySections: Seq[(String, Seq[String], String, Boolean)] = Nil,
+      direction: Int = 1): Vector[SplitSegment] = {
     val refLen = Geo.lengthKm(refCoords)
     val nodeSeq = osmNodeIdsSeq(waySectionNodeIds)
     val vertsOpt = vertexSeq(refCoords, nodeSeq)
@@ -348,7 +350,16 @@ object ConflationKernel {
       if (offsets.isEmpty) Nil
       else removeOverlaps(offsets, SplitBuffKm, parityInputOrder)
     }
+    // the 'osm' pseudo target map: underlying way-section intervals (G7) —
+    // the reference appends 'osm' to the target-map list and its offsets
+    // partition the reference alongside the real matches (run:44-106,
+    // outputConflationNDSJON:10-13)
+    val osmIvs: Seq[Interval] =
+      if (waySections.isEmpty) Nil
+      else osmWayOffsets(verts, waySections, direction, parityInputOrder)
+        .getOrElse(Vector.empty)
+    val all = perTm ++ osmIvs
     if (perTm.isEmpty) Vector.empty
-    else split(refCoords, refLen, verts, perTm, parityRound6)
+    else split(refCoords, refLen, verts, all, parityRound6)
   }
 }

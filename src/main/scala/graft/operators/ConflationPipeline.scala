@@ -103,6 +103,72 @@ object ConflationPipeline {
   def matches(candidates: DataFrame): DataFrame =
     MatchPostProcessor(scoredCandidates(candidates)).toDF()
 
+  // --------------------------------------------- meso/mega enrichment (§3.2)
+
+  /** Row shape for the per-meso-group toposort. */
+  case class MesoKeyed(
+      targetMap: String,
+      mesoId: String,
+      matchedTargetMapId: String,
+      matchedTargetMapMicroIdx: Int,
+      shstFromIntersectionId: String,
+      shstToIntersectionId: String,
+      tmMicroBearing: Option[Int],
+      matchedMicroBearing: Option[Int],
+      tmMesoBearing: Option[Int],
+      geometry: Seq[Seq[Double]])
+
+  /** Micro proto id = the chain id without its per-edge index
+    * (`tmId|bearing|idx` → `tmId|bearing`; unsorted `tmId!cs` ids stand
+    * alone), the grouping key of addMesoLevelMetadata's simplified edges. */
+  def microProtoId(matchedTargetMapId: String): String = {
+    val i = matchedTargetMapId.lastIndexOf('|')
+    if (i > 0) matchedTargetMapId.substring(0, i) else matchedTargetMapId
+  }
+
+  /**
+   * §3.2 steps 4-5 (addMesoLevelMetadata.js / addMegaLevelMetadata.js):
+   * attach meso chain indices+bearing (toposort per (targetMap, mesoId)
+   * corridor; flip-rule fallback) and mega direction-of-travel (bbox axis ×
+   * meso bearing) to post-processed matches. One shuffle per level, groups
+   * are single corridors — tiny and bounded, like the micro post-processor.
+   */
+  def enrichMatches(featuresDs: Dataset[TargetMapFeature], matchesDf: DataFrame): DataFrame = {
+    val spark = featuresDs.sparkSession
+    import spark.implicits._
+    val meta = featuresDs.toDF().select($col("targetMap"), $col("targetMapId"),
+      $col("targetMapMesoId"), $col("targetMapMegaId"),
+      $col("targetMapMicroLevelBearing"), $col("targetMapMesoLevelBearing"))
+      .distinct()
+    val m = matchesDf.join(meta, Seq("targetMap", "targetMapId"), "left")
+    val mesoIn = m.select(
+        $col("targetMap"),
+        coalesce($col("targetMapMesoId"), $col("targetMapId")).as("mesoId"),
+        $col("matchedTargetMapId"), $col("matchedTargetMapMicroIdx"),
+        $col("shstFromIntersectionId"), $col("shstToIntersectionId"),
+        $col("targetMapMicroLevelBearing").as("tmMicroBearing"),
+        $col("matchedTargetMapMicroLevelBearing").as("matchedMicroBearing"),
+        $col("targetMapMesoLevelBearing").as("tmMesoBearing"),
+        $col("geometry")).as[MesoKeyed]
+    val mesoOut = mesoIn.groupByKey(r => (r.targetMap, r.mesoId))
+      .flatMapGroups { (key: (String, String), it: Iterator[MesoKeyed]) =>
+        val rows = it.toSeq
+        val ins = rows.map(r => MesoMega.MesoIn(r.matchedTargetMapId,
+          microProtoId(r.matchedTargetMapId), r.matchedTargetMapMicroIdx,
+          r.shstFromIntersectionId, r.shstToIntersectionId,
+          r.tmMicroBearing,
+          // unsorted-fallback matches carry bearing -1 = "none"
+          r.matchedMicroBearing.filter(_ >= 0),
+          r.tmMesoBearing, r.geometry))
+        MesoMega.mesoGroup(ins).map(o => (key._1, o.matchedTargetMapId,
+          o.matchedTargetMapMesoLevelBearing, o.matchedTargetMapMesoIdx)).iterator
+      }
+      .toDF("targetMap", "matchedTargetMapId",
+        "matchedTargetMapMesoLevelBearing", "matchedTargetMapMesoIdx")
+    MesoMega.megaMetadata(
+      m.join(mesoOut, Seq("targetMap", "matchedTargetMapId"), "left"))
+  }
+
   /** Target maps whose features are bidirectional (RIS-style): they match
     * BOTH directed references of a two-way road — which is exactly why the
     * reference's QA halves their output length (qaSQLiteService:104-117). */
@@ -149,6 +215,9 @@ object ConflationPipeline {
 
   // ------------------------------------------------------------ conflation
 
+  /** Way-section projection carried into the kernel (osm offsets, G7). */
+  case class WsLite(wayId: String, nodeIds: Seq[String], roadClass: String, oneWay: Boolean)
+
   /** Row shape for the per-reference kernel input. */
   case class RefWithMatches(
       shstReferenceId: String,
@@ -156,10 +225,11 @@ object ConflationPipeline {
       fromIntersectionId: String,
       toIntersectionId: String,
       oneWay: Boolean,
+      isForward: Boolean,
       roadClass: String,
       wayId: String,
       coordinates: Seq[Seq[Double]],
-      nodeIdsPerSection: Seq[Seq[String]],
+      sections: Seq[WsLite],
       ms: Seq[MatchRow])
 
   case class MatchRow(
@@ -169,6 +239,7 @@ object ConflationPipeline {
       matchedTargetMapMicroIdx: Int,
       targetMapIsPrimary: Boolean,
       targetMapNetHrchyRank: Int,
+      megaDir: Option[String],
       geometry: Seq[Seq[Double]])
 
   /**
@@ -179,18 +250,29 @@ object ConflationPipeline {
   def conflate(refsDs: Dataset[ShstReference], matchesDf: DataFrame): Dataset[ConflationSegment] = {
     val spark = refsDs.sparkSession
     import spark.implicits._
-    val matchesAgg = matchesDf
+    // enrichMatches adds megaDir; plain MatchPostProcessor output doesn't —
+    // default it to null so both feed the same kernel
+    val withDir =
+      if (matchesDf.columns.contains("matchedTargetMapMegaLevelDirectionOfTravel"))
+        matchesDf.withColumn("megaDir",
+          $col("matchedTargetMapMegaLevelDirectionOfTravel"))
+      else if (matchesDf.columns.contains("megaDir")) matchesDf
+      else matchesDf.withColumn("megaDir", lit(null).cast("string"))
+    val matchesAgg = withDir
       .groupBy($col("shstReferenceId"))
       .agg(collect_list(struct(
         $col("targetMap"), $col("targetMapId"), $col("matchedTargetMapId"),
         $col("matchedTargetMapMicroIdx"), $col("targetMapIsPrimary"),
-        $col("targetMapNetHrchyRank"), $col("geometry"))).as("ms"))
+        $col("targetMapNetHrchyRank"), $col("megaDir"), $col("geometry"))).as("ms"))
     val joined = refsDs.toDF()
       .select($col("shstReferenceId"), $col("geometryId"), $col("fromIntersectionId"),
-        $col("toIntersectionId"), $col("oneWay"), $col("roadClass"),
+        $col("toIntersectionId"), $col("oneWay"), $col("isForward"), $col("roadClass"),
         element_at($col("waySections"), 1).getField("wayId").as("wayId"),
         $col("coordinates"),
-        transform($col("waySections"), ws => ws.getField("nodeIds")).as("nodeIdsPerSection"))
+        transform($col("waySections"), ws => struct(
+          ws.getField("wayId").as("wayId"), ws.getField("nodeIds").as("nodeIds"),
+          ws.getField("roadClass").as("roadClass"), ws.getField("oneWay").as("oneWay")))
+          .as("sections"))
       .join(matchesAgg, Seq("shstReferenceId"), "inner")
       .as[RefWithMatches]
     joined.flatMap { row =>
@@ -202,10 +284,16 @@ object ConflationPipeline {
             0, 0, 0, 0), m.geometry.map(_.toArray).toArray)
         }
       }
-      val segs = ConflationKernel.conflateReference(refCoords, row.nodeIdsPerSection, byTm)
+      val segs = ConflationKernel.conflateReference(refCoords,
+        row.sections.map(_.nodeIds), byTm,
+        waySections = row.sections.map(w => (w.wayId, w.nodeIds, w.roadClass, w.oneWay)),
+        direction = if (row.isForward) 1 else 0)
       // networklevel := rank (+0.5 if oneWay) — src/conflation/run:74-88
       val rank = Synth.RoadClasses.indexOf(row.roadClass).max(0)
       val nl = rank + (if (row.oneWay) 0.5 else 0.0)
+      // megaDir rides per match, keyed back onto the kernel's assignments
+      val dirByMatch = row.ms.iterator
+        .map(mr => (mr.targetMap, mr.matchedTargetMapId) -> mr.megaDir).toMap
       segs.map { s =>
         ConflationSegment(
           row.shstReferenceId, row.geometryId, row.fromIntersectionId,
@@ -214,7 +302,8 @@ object ConflationPipeline {
           s.nodeIds, s.coordinates.map(_.toSeq),
           row.wayId, row.roadClass, row.oneWay,
           s.tmAssignments.map(a => SegmentTmMeta(a.targetMap, a.targetMapId,
-            a.matchedTargetMapId, a.matchedTargetMapMicroIdx)))
+            a.matchedTargetMapId, a.matchedTargetMapMicroIdx,
+            dirByMatch.getOrElse((a.targetMap, a.matchedTargetMapId), None))))
       }
     }
   }
@@ -230,7 +319,8 @@ object ConflationPipeline {
       .select($col("shstReferenceId"), $col("segmentIndex"),
         $col("m.targetMap").as("targetMap"), $col("m.targetMapId").as("targetMapId"),
         $col("m.matchedTargetMapId").as("matchedTargetMapId"),
-        $col("m.matchedTargetMapMicroIdx").as("matchedTargetMapMicroIdx"))
+        $col("m.matchedTargetMapMicroIdx").as("matchedTargetMapMicroIdx"),
+        $col("m.megaDir").as("megaDir"))
       .withColumn("conflation_map_idx", row_number().over(w) - 1)
   }
 
@@ -330,6 +420,6 @@ object ConflationPipeline {
     val p = pages(spark, nPages, nRoads)
     val f = features(p, nRoads).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r = references(spark, nRoads).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    conflate(r, matches(matchCandidates(f, r)))
+    conflate(r, enrichMatches(f, matches(matchCandidates(f, r))))
   }
 }

@@ -27,23 +27,84 @@ object Sinks {
       .write.mode("overwrite").json(path)
   }
 
-  /** Projection shared by the NDJSON and GeoJSON sinks. */
-  def segmentFeatures(segments: Dataset[ConflationSegment]): DataFrame =
+  /** The abbreviated property prefix per target map
+    * (outputConflationNDSJON:40-42: npmrds_2019 → tmc19, ris_2019 → ris19). */
+  def abbreviate(targetMap: String): String =
+    targetMap.replaceAll("npmrds_20", "tmc").replaceAll("ris_20", "ris")
+
+  /**
+   * P8: the reference's flat output properties per segment
+   * (outputConflationNDSJON:17-101) —
+   *
+   *   id, split_seg = "segmentIndex:totalSegments", networklevel,
+   *   <abbr>id  = matchedTargetMapId split on [|!], first token (:63-66)
+   *   <abbr>idx = the W1 conflation_map_idx (:66-69)
+   *   dir       = majority vote over the segment's RIS mega directions,
+   *               falling back to the reference's micro direction of travel
+   *               (:75-92; vote ties break (count desc, dir asc) — the
+   *               reference's own tie order is object-insertion-dependent)
+   */
+  def outputProperties(segments: Dataset[ConflationSegment]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val metaIdx = ConflationPipeline.conflationMetadata(segments)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // target-map list: tiny distinct (the reference reads it from a catalog
+    // table, getTargetMapsList) — collected once to shape the projection
+    val tms = metaIdx.select("targetMap").distinct()
+      .collect().map(_.getString(0)).sorted
+    val perTmCols = tms.toSeq.flatMap { tm =>
+      Seq(
+        max(when(col("targetMap") === tm,
+          regexp_extract(col("matchedTargetMapId"), "^[^|!]+", 0)))
+          .as(s"${abbreviate(tm)}id"),
+        max(when(col("targetMap") === tm, col("conflation_map_idx")))
+          .as(s"${abbreviate(tm)}idx"))
+    }
+    val perTm = metaIdx.groupBy("shstReferenceId", "segmentIndex")
+      .agg(perTmCols.head, perTmCols.tail: _*)
+    val risVote = metaIdx
+      .filter(col("targetMap").rlike("^ris") && col("megaDir").isNotNull)
+      .groupBy("shstReferenceId", "segmentIndex", "megaDir")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("shstReferenceId", "segmentIndex")
+          .orderBy(col("cnt").desc, col("megaDir"))))
+      .filter(col("rn") === 1)
+      .select(col("shstReferenceId"), col("segmentIndex"), col("megaDir").as("ris_dir"))
     segments.toDF()
+      .join(perTm, Seq("shstReferenceId", "segmentIndex"), "left")
+      .join(risVote, Seq("shstReferenceId", "segmentIndex"), "left")
+      // F11 micro direction of travel with the `||` parity quirk: any
+      // non-northbound bearing buckets EASTBOUND
+      .withColumn("__b", graft.functions.geo.final_bearing(col("coordinates")))
+      .withColumn("dir", coalesce(col("ris_dir"),
+        when(col("__b") <= 45 || col("__b") > 315, "NORTHBOUND")
+          .otherwise("EASTBOUND")))
+      .drop("__b", "ris_dir")
+  }
+
+  /** Projection shared by the NDJSON and GeoJSON sinks: GeoJSON features
+    * whose properties are the reference's reduced output set. */
+  def segmentFeatures(segments: Dataset[ConflationSegment]): DataFrame = {
+    val props = outputProperties(segments)
+    // the per-target-map columns are exactly what outputProperties added
+    val segCols = segments.toDF().columns.toSet
+    val tmCols = props.columns
+      .filter(c => !segCols.contains(c) && c != "dir").sorted.map(col).toSeq
+    props
       .withColumn("geoprox_key", graft.functions.geo.geoprox_key(
         element_at(element_at(col("coordinates"), 1), 1),
         element_at(element_at(col("coordinates"), 1), 2)))
       .select(
         lit("Feature").as("type"),
         concat(col("shstReferenceId"), lit(":"), col("segmentIndex")).as("id"),
-        struct(
-          col("shstReferenceId"), col("geometryId"),
-          col("fromIntersectionId"), col("toIntersectionId"),
-          col("segmentIndex"), col("totalSegments"),
-          col("startDist"), col("endDist"), col("networklevel"),
-          col("wayId"), col("roadClass"), col("tmMeta")).as("properties"),
+        struct(Seq(
+          concat(col("shstReferenceId"), lit(":"), col("segmentIndex")).as("id"),
+          concat(col("segmentIndex"), lit(":"), col("totalSegments")).as("split_seg"),
+          col("networklevel")) ++ tmCols :+ col("dir"): _*).as("properties"),
         struct(lit("LineString").as("type"), col("coordinates")).as("geometry"),
         col("networklevel"), col("geoprox_key"))
+  }
 
   /** S8: FeatureCollection envelope around the features — explicitly a
     * single-file export utility (the envelope is not parallelizable). */

@@ -204,6 +204,10 @@ object Synth {
       direction = Some(if (bearing <= 90 || bearing > 270) "NORTHBOUND" else "SOUTHBOUND"),
       roadOrder = Some(slot.toDouble),
       targetMapMicroLevelBearing = bearing,
+      // meso level = the road corridor: its final bearing is the corridor
+      // bearing every slot shares (addMesoLevelMetadata fallback input)
+      targetMapMesoLevelBearing =
+        math.round(Geo.lineFinalBearing(coords)).toInt,
       geometry = jittered)
   }
 }

@@ -23,8 +23,21 @@ class SinksSpec extends AnyFunSuite {
     val back = spark.read.json(path)
     assert(back.count() == segments.count())
     assert(back.columns.toSet.contains("geometry"))
-    assert(back.select("properties.shstReferenceId").distinct().count() > 0)
     assert(back.filter(col("type") =!= "Feature").count() == 0)
+    // the reference's reduced properties (outputConflationNDSJON:30-33,63-69):
+    // abbreviated per-target-map columns + split_seg + dir
+    val props = back.select("properties.*").columns.toSet
+    assert(Set("id", "split_seg", "networklevel", "dir").subsetOf(props), props)
+    assert(Set("tmc26id", "tmc26idx", "ris26id", "ris26idx",
+      "osmid", "osmidx").subsetOf(props), props)
+    // composite ids are split on [|!]: no separator survives in <abbr>id
+    assert(back.filter(col("properties.tmc26id").rlike("[|!]")).count() == 0)
+    assert(back.filter(col("properties.osmid").rlike("[|!]")).count() == 0)
+    // dir is always one of the four direction names
+    assert(back.filter(!col("properties.dir").isin(
+      "NORTHBOUND", "EASTBOUND", "SOUTHBOUND", "WESTBOUND")).count() == 0)
+    // split_seg matches "<idx>:<total>"
+    assert(back.filter(!col("properties.split_seg").rlike("^\\d+:\\d+$")).count() == 0)
   }
 
   test("GeoJSON FeatureCollection: valid envelope, all features present") {
