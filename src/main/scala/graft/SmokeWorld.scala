@@ -94,8 +94,13 @@ object SmokeWorld {
       element_at(element_at(col("coordinates"), 1), 1).as("first_lon"),
       element_at(element_at(col("coordinates"), 1), 2).as("first_lat"),
       graft.functions.geo.final_bearing(col("coordinates")).as("seg_bearing"),
+      element_at(col("nodeIds"), 1).as("start_node"),
+      element_at(col("nodeIds"), -1).as("end_node"),
       size(col("tmMeta")).as("n_tm")),
       dir, "aux_segments")
+
+    write(ConflationPipeline.restrictions(spark, NRoads).toDF(),
+      dir, "aux_restrictions")
 
     write(segDf.select(col("shstReferenceId"), col("segmentIndex"),
         (col("endDist") - col("startDist")).as("len_km"), explode(col("tmMeta")).as("m"))

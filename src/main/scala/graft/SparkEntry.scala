@@ -296,7 +296,12 @@ object SparkEntry {
           concat(col("segmentIndex"), lit(":"), col("totalSegments")).as("split_seg"),
           col("networklevel"),
           col("tmc26id"), col("tmc26idx"), col("ris26id"), col("ris26idx"),
-          col("osmid"), col("osmidx"), col("dir")))
+          col("osmid"), col("osmidx"), col("dir"))),
+
+    // J8: turn-restriction re-anchoring — from-way must END and to-way must
+    // START at the via node among the raw way's split segments
+    "q44_restrictions" -> ((s, _) => graft.operators.Restrictions.reanchor(
+      ConflationPipeline.restrictions(s, SmokeWorld.NRoads), SmokeWorld(s).segments))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -655,6 +660,24 @@ object SparkEntry {
         |   THEN 'NORTHBOUND' ELSE 'EASTBOUND' END) AS dir
         |FROM read_parquet('__AUX__/aux_segments/*.parquet') s
         |LEFT JOIN per p ON s."shstReferenceId" = p.rid AND s."segmentIndex" = p.sidx
-        |LEFT JOIN vote v ON s."shstReferenceId" = v.rid AND s."segmentIndex" = v.sidx""".stripMargin
+        |LEFT JOIN vote v ON s."shstReferenceId" = v.rid AND s."segmentIndex" = v.sidx""".stripMargin,
+
+    "q44_restrictions" ->
+      """WITH ways AS (
+        | SELECT concat("shstReferenceId", ':', "segmentIndex") AS cw,
+        |  "wayId" AS raw_osm_id, start_node, end_node
+        | FROM read_parquet('__AUX__/aux_segments/*.parquet')),
+        |anchored AS (
+        | SELECT r."viaNodeId" AS "viaNodeId", r."fromWayId", r."toWayId",
+        |  r.restriction AS restriction,
+        |  min(f.cw) AS from_way, min(t.cw) AS to_way
+        | FROM read_parquet('__AUX__/aux_restrictions/*.parquet') r
+        | JOIN ways f ON r."fromWayId" = f.raw_osm_id AND r."viaNodeId" = f.end_node
+        | JOIN ways t ON r."toWayId" = t.raw_osm_id AND r."viaNodeId" = t.start_node
+        | GROUP BY 1, 2, 3, 4)
+        |SELECT row_number() OVER (ORDER BY "viaNodeId", "fromWayId", "toWayId",
+        |   restriction) AS restriction_id,
+        | "viaNodeId", from_way, to_way, restriction
+        |FROM anchored""".stripMargin
   )
 }

@@ -91,6 +91,16 @@ case class SegmentTmMeta(
     matchedTargetMapMicroIdx: Int,
     megaDir: Option[String])
 
+/** A raw OSM turn restriction: via node + from/to way members
+  * (rawOsmSQLiteService/index.js:38-42 `restrictions(node_id, members,
+  * restriction)`). */
+case class OsmRestriction(
+    nodeId: String,
+    fromWayId: String,
+    viaNodeId: String,
+    toWayId: String,
+    restriction: String)
+
 /** One split piece of a SharedStreets reference — the engine's signature
   * 1→N output row (reference: partitionShstReferenceByTargetMapsMatches/
   * index.js:119-137 + ConflationWorkDatabaseService.js:80-121). */

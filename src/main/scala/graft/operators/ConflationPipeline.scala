@@ -69,6 +69,12 @@ object ConflationPipeline {
     spark.range(nRoads).flatMap(r => Synth.shstReferencesForRoad(r.toInt, nRoads))
   }
 
+  /** Raw OSM turn restrictions for the synthetic network (J8 input). */
+  def restrictions(spark: SparkSession, nRoads: Int): Dataset[graft.model.OsmRestriction] = {
+    import spark.implicits._
+    spark.range(nRoads).flatMap(r => Synth.restrictionsForRoad(r.toInt, nRoads))
+  }
+
   // ------------------------------------------------------------- matching
 
   /**

@@ -154,6 +154,28 @@ object Sinks {
       .write.mode("overwrite").text(path)
   }
 
+  /** S11 companion: OSM `<relation type=restriction>` elements for
+    * re-anchored turn restrictions (the reference emits them alongside the
+    * generated ways; members rewritten per loadGeneratedOSM:203-248). */
+  def osmXmlRestrictions(reanchored: DataFrame, path: String): Unit = {
+    val spark = reanchored.sparkSession
+    import spark.implicits._
+    reanchored
+      .orderBy("restriction_id")
+      .select(col("restriction_id"), col("from_way"), col("viaNodeId"),
+        col("to_way"), sanitize(col("restriction")).as("restriction"))
+      .map { r =>
+        s"""  <relation id="${r.getLong(0)}">
+           |    <member type="way" ref="${r.getString(1)}" role="from"/>
+           |    <member type="node" ref="${r.getString(2)}" role="via"/>
+           |    <member type="way" ref="${r.getString(3)}" role="to"/>
+           |    <tag k="type" v="restriction"/>
+           |    <tag k="restriction" v="${r.getString(4)}"/>
+           |  </relation>""".stripMargin
+      }
+      .write.mode("overwrite").text(path)
+  }
+
   /** S12: inverted node→ways index — nodeId → map(wayId → vertex positions). */
   def nodeToWaysIndex(segments: Dataset[ConflationSegment]): DataFrame =
     segments.toDF()

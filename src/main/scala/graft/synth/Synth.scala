@@ -115,6 +115,26 @@ object Synth {
   def network(nRoads: Int): Seq[ShstReference] =
     (0 until nRoads).flatMap(shstReferencesForRoad(_, nRoads))
 
+  /** Turn-restriction names the reference passes through opaquely. */
+  val RestrictionTypes = Vector("no_left_turn", "no_right_turn", "no_u_turn",
+    "only_straight_on")
+
+  /** Deterministic raw turn restrictions: at interior chunk boundaries of a
+    * road, via the boundary node, from the earlier way to the later way
+    * (about half the boundaries carry one). */
+  def restrictionsForRoad(roadId: Int, nRoads: Int,
+      chunk: Int = 3): Seq[OsmRestriction] = {
+    val nSeg = roadCoords(roadId, nRoads).length - 1
+    val nChunks = (nSeg + chunk - 1) / chunk
+    (1 until nChunks).flatMap { g =>
+      if (hmod(s"road/$roadId/restr$g", 2) == 0) {
+        val via = s"n${roadId}_${g * chunk}"
+        val kind = RestrictionTypes(hmod(s"road/$roadId/rkind$g", RestrictionTypes.length))
+        Some(OsmRestriction(via, s"w${roadId}_${g - 1}", via, s"w${roadId}_$g", kind))
+      } else None
+    }
+  }
+
   // --- pages (graft input) ------------------------------------------------
   private val BaseTs = 1735689600000L // 2025-01-01T00:00:00Z, fixed epoch
 
