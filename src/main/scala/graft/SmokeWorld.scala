@@ -119,6 +119,8 @@ object SmokeWorld {
     // oracle takes exact top-k over it, checking cell-ring completeness
     write(Knn_allDistances(knnPoints(spark), h.refs), dir, "aux_knn_dists")
 
+    writeNdjsonFixture(spark, dir)
+
     // --- sf-dependent side tables ---------------------------------------
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     write(graft.operators.Dedup.simhashTable(docs, "doc_id", "text"),
@@ -139,4 +141,35 @@ object SmokeWorld {
   private def Knn_allDistances(points: DataFrame,
       refs: Dataset[ShstReference]): DataFrame =
     graft.operators.Knn.allDistances(points, refs)
+
+  /**
+   * S1 ingest fixture: the smoke features as gzipped GeoJSON NDJSON, plus
+   * planted bad rows (a <2-point geometry, a missing geometry, a
+   * wrong-county feature, and a malformed-JSON line in its own .gz part) —
+   * q45 and its DuckDB oracle must drop exactly the same rows. Idempotent:
+   * skipped when the directory already exists with a _SUCCESS marker.
+   */
+  def writeNdjsonFixture(spark: SparkSession, dir: String = auxDir): Unit = synchronized {
+    val target = new java.io.File(s"$dir/aux_ndjson")
+    if (new java.io.File(target, "_SUCCESS").exists()) return
+    val h = apply(spark)
+    val goodLines = h.features.toDF().select(to_json(struct(
+      lit("Feature").as("type"),
+      struct(col("targetMapId"),
+        lit("36001").as("targetMapCountyCode"), col("targetMap")).as("properties"),
+      struct(lit("LineString").as("type"),
+        col("geometry").as("coordinates")).as("geometry"))).as("value"))
+    val planted = spark.createDataset(Seq(
+      """{"type":"Feature","properties":{"targetMapId":"bad_geom","targetMapCountyCode":"36001","targetMap":"x"},"geometry":{"type":"LineString","coordinates":[[-73.8,42.7]]}}""",
+      """{"type":"Feature","properties":{"targetMapId":"no_geom","targetMapCountyCode":"36001","targetMap":"x"}}""",
+      """{"type":"Feature","properties":{"targetMapId":"wrong_county","targetMapCountyCode":"36999","targetMap":"x"},"geometry":{"type":"LineString","coordinates":[[-73.8,42.7],[-73.81,42.71]]}}"""))(
+      org.apache.spark.sql.Encoders.STRING).toDF("value")
+    goodLines.union(planted).coalesce(1).write.mode("overwrite")
+      .option("compression", "gzip").text(target.getPath)
+    // malformed line AFTER the overwrite (which wipes the directory)
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(target, "part-corrupt.txt.gz")))
+    gz.write("{this is not json\n".getBytes("UTF-8"))
+    gz.close()
+  }
 }

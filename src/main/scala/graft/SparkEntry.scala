@@ -301,7 +301,17 @@ object SparkEntry {
     // J8: turn-restriction re-anchoring — from-way must END and to-way must
     // START at the via node among the raw way's split segments
     "q44_restrictions" -> ((s, _) => graft.operators.Restrictions.reanchor(
-      ConflationPipeline.restrictions(s, SmokeWorld.NRoads), SmokeWorld(s).segments))
+      ConflationPipeline.restrictions(s, SmokeWorld.NRoads), SmokeWorld(s).segments)),
+
+    // S1: the reference's gzip-NDJSON front door — PERMISSIVE read drops
+    // the malformed line; geometry/county gates drop the planted bad rows
+    "q45_ndjson_ingest" -> ((s, _) => {
+      SmokeWorld.writeNdjsonFixture(s)
+      graft.sources.Sources.loadFeaturesFromGzippedNdjson(
+        s, s"${SmokeWorld.auxDir}/aux_ndjson/*.txt.gz")
+        .select(col("id"), col("targetMap"),
+          size(col("geometry")).as("n_coords"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -678,6 +688,19 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY "viaNodeId", "fromWayId", "toWayId",
         |   restriction) AS restriction_id,
         | "viaNodeId", from_way, to_way, restriction
-        |FROM anchored""".stripMargin
+        |FROM anchored""".stripMargin,
+
+    "q45_ndjson_ingest" ->
+      """SELECT properties.targetMapId AS id, properties.targetMap AS "targetMap",
+        | len(geometry.coordinates) AS n_coords
+        |FROM read_json('__AUX__/aux_ndjson/*.txt.gz',
+        |  format = 'newline_delimited', ignore_errors = true,
+        |  columns = {
+        |   "type": 'VARCHAR',
+        |   "properties": 'STRUCT(targetMapId VARCHAR, targetMapCountyCode VARCHAR, targetMap VARCHAR)',
+        |   "geometry": 'STRUCT(type VARCHAR, coordinates DOUBLE[][])'})
+        |WHERE geometry.coordinates IS NOT NULL
+        |  AND len(geometry.coordinates) >= 2
+        |  AND properties.targetMapCountyCode = '36001'""".stripMargin
   )
 }
