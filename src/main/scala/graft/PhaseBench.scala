@@ -1,6 +1,5 @@
 package graft
 import graft.operators.ConflationPipeline
-import org.apache.spark.sql.functions._
 object PhaseBench extends App {
   val cpus = args(0)
   val nPages = if (args.length > 1) args(1).toLong else 400000L
@@ -26,8 +25,11 @@ object PhaseBench extends App {
   val m = graft.operators.MatchPostProcessor(scoredc).toDF()
     .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   time("postprocess"){ m.count() }
-  val segs = ConflationPipeline.conflate(refs, m)
+  val em = ConflationPipeline.enrichMatches(feats, m)
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  time("meso+mega enrich"){ em.count() }
+  val segs = ConflationPipeline.conflate(refs, em)
   time("conflate"){ segs.count() }
-  time("tiles"){ ConflationPipeline.tiles(ConflationPipeline.conflate(refs, m), 12).count() }
+  time("tiles"){ ConflationPipeline.tiles(ConflationPipeline.conflate(refs, em), 12).count() }
   spark.stop()
 }

@@ -146,7 +146,10 @@ object ConflationPipeline {
       $col("targetMapMesoId"), $col("targetMapMegaId"),
       $col("targetMapMicroLevelBearing"), $col("targetMapMesoLevelBearing"))
       .distinct()
+    // persisted: the meso shuffle, the mega bbox pass, and the final joins
+    // all read it — unpersisted, each re-runs the whole matcher subtree
     val m = matchesDf.join(meta, Seq("targetMap", "targetMapId"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mesoIn = m.select(
         $col("targetMap"),
         coalesce($col("targetMapMesoId"), $col("targetMapId")).as("mesoId"),
@@ -155,7 +158,10 @@ object ConflationPipeline {
         $col("targetMapMicroLevelBearing").as("tmMicroBearing"),
         $col("matchedTargetMapMicroLevelBearing").as("matchedMicroBearing"),
         $col("targetMapMesoLevelBearing").as("tmMesoBearing"),
-        $col("geometry")).as[MesoKeyed]
+        // chainBearing reads only first-of-first/last-of-last — shuffle a
+        // 2-point geometry, not the full polyline
+        array(element_at($col("geometry"), 1), element_at($col("geometry"), -1))
+          .as("geometry")).as[MesoKeyed]
     val mesoOut = mesoIn.groupByKey(r => (r.targetMap, r.mesoId))
       .flatMapGroups { (key: (String, String), it: Iterator[MesoKeyed]) =>
         val rows = it.toSeq
@@ -171,8 +177,17 @@ object ConflationPipeline {
       }
       .toDF("targetMap", "matchedTargetMapId",
         "matchedTargetMapMesoLevelBearing", "matchedTargetMapMesoIdx")
+    // bidirectional meso sorts can fork clone chains that share edges, so a
+    // match may flatten into TWO MesoOut rows (the reference's object-keyed
+    // assignment silently last-writer-wins there) — dedupe deterministically
+    // on the smallest (idx, bearing) so the left join below stays 1:1
+    val w = Window.partitionBy("targetMap", "matchedTargetMapId")
+      .orderBy($col("matchedTargetMapMesoIdx").asc_nulls_last,
+        $col("matchedTargetMapMesoLevelBearing").asc_nulls_last)
+    val mesoDeduped = mesoOut
+      .withColumn("__rn", row_number().over(w)).filter($col("__rn") === 1).drop("__rn")
     MesoMega.megaMetadata(
-      m.join(mesoOut, Seq("targetMap", "matchedTargetMapId"), "left"))
+      m.join(mesoDeduped, Seq("targetMap", "matchedTargetMapId"), "left"))
   }
 
   /** Target maps whose features are bidirectional (RIS-style): they match
@@ -425,7 +440,12 @@ object ConflationPipeline {
     * (cell-cover explode + geometry re-attach; candidate join + conflate),
     * and recomputing the geocode/dedup subtree doubles the work. */
   def run(spark: SparkSession, nPages: Long, nRoads: Int): Dataset[ConflationSegment] = {
+    // pages persist: the dedup pass + winner join both scan them, and the
+    // deterministic generator is CPU-heavy — one materialization, two reads
+    // (with a real storage-backed input the re-scan is a cheap column read
+    // and this persist would be dropped)
     val p = pages(spark, nPages, nRoads)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val f = features(p, nRoads).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r = references(spark, nRoads).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     conflate(r, enrichMatches(f, matches(matchCandidates(f, r))))
