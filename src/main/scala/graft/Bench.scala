@@ -24,6 +24,9 @@ object Bench {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // a broadcast build side over a big cached stage can legitimately
+      // take minutes at low parallelism / large SF
+      .config("spark.sql.broadcastTimeout", "1800")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", localDir)

@@ -146,10 +146,14 @@ object ConflationPipeline {
       $col("targetMapMesoId"), $col("targetMapMegaId"),
       $col("targetMapMicroLevelBearing"), $col("targetMapMesoLevelBearing"))
       .distinct()
-    // persisted: the meso shuffle, the mega bbox pass, and the final joins
-    // all read it — unpersisted, each re-runs the whole matcher subtree
+    // persisted AND eagerly materialized: the meso shuffle, the mega bbox
+    // pass, and the final joins all read it. The bbox side sits under a
+    // broadcast exchange, and an unmaterialized cache there means the whole
+    // matcher subtree runs inside the 300 s broadcast timeout — which it
+    // blows at low parallelism (observed at local[2], 6.4M pages)
     val m = matchesDf.join(meta, Seq("targetMap", "targetMapId"), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    m.count()
     val mesoIn = m.select(
         $col("targetMap"),
         coalesce($col("targetMapMesoId"), $col("targetMapId")).as("mesoId"),
