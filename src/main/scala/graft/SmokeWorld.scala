@@ -54,6 +54,16 @@ object SmokeWorld {
   private def write(df: DataFrame, dir: String, name: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
 
+  /** q46's near-dup corpus: the embeddings plus slightly perturbed copies
+    * of the first 25 vectors (true cosine ≈ 0.999 to their source). */
+  def nearDupCorpus(emb: DataFrame): DataFrame = {
+    val planted = emb.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + (i % 7).cast("float") * lit(0.001f)).as("embedding"))
+    emb.select(col("vec_id"), col("embedding")).union(planted)
+  }
+
   /** q31's deterministic query points (nation-key lattice, 25 points). */
   def knnPoints(spark: SparkSession): DataFrame =
     spark.range(25).toDF("point_id")
@@ -130,6 +140,14 @@ object SmokeWorld {
     write(graft.operators.Similarity.lshCandidates(
       emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding"),
       dir, "aux_ann_candidates")
+
+    // near-dup corpus = embeddings ∪ perturbed copies (the raw synthetic
+    // vectors are uniform — max pairwise cosine ≈ 0.51 — so duplicates are
+    // planted deterministically, ids offset by 100000)
+    val nd = nearDupCorpus(emb)
+    write(nd, dir, "aux_neardup_corpus")
+    write(graft.operators.Similarity.lshSelfCandidates(nd, "vec_id", "embedding"),
+      dir, "aux_neardup_candidates")
 
     val media = docs.select(col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("media"))

@@ -311,7 +311,14 @@ object SparkEntry {
         s, s"${SmokeWorld.auxDir}/aux_ndjson/*.txt.gz")
         .select(col("id"), col("targetMap"),
           size(col("geometry")).as("n_coords"))
-    })
+    }),
+
+    // embedding-cosine near-dup (dedup family over an embedding column):
+    // LSH self-candidates + exact cosine threshold over a corpus with
+    // planted perturbed duplicates
+    "q46_cosine_neardup" -> ((s, d) => graft.operators.Similarity
+      .cosineNearDupPairs(SmokeWorld.nearDupCorpus(
+        t(s, d, "embeddings")), "vec_id", "embedding"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -701,6 +708,18 @@ object SparkEntry {
         |   "geometry": 'STRUCT(type VARCHAR, coordinates DOUBLE[][])'})
         |WHERE geometry.coordinates IS NOT NULL
         |  AND len(geometry.coordinates) >= 2
-        |  AND properties.targetMapCountyCode = '36001'""".stripMargin
+        |  AND properties.targetMapCountyCode = '36001'""".stripMargin,
+
+    "q46_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM read_parquet('__AUX__/aux_neardup_corpus/*.parquet')),
+        |c AS (SELECT id_a, id_b
+        |  FROM read_parquet('__AUX__/aux_neardup_candidates/*.parquet'))
+        |SELECT id_a, id_b, cos FROM (
+        | SELECT c.id_a, c.id_b,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        | FROM c JOIN e a ON c.id_a = a.vec_id JOIN e b ON c.id_b = b.vec_id)
+        |WHERE cos >= 0.95""".stripMargin
   )
 }

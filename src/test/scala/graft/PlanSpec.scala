@@ -27,6 +27,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<p_partkey:bigint,p_brand:string,p_type:string,p_size:int>"), plan)
   }
 
+  test("embedding near-dup self-candidates join on buckets, never cross") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = graft.operators.Similarity.lshSelfCandidates(
+      SmokeWorld.nearDupCorpus(emb), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("__b"), plan)
+  }
+
+  test("restriction re-anchoring is two equi-joins, never a cross product") {
+    val segs = graft.operators.ConflationPipeline.run(spark, 100, 10)
+    val plan = graft.operators.Restrictions.reanchor(
+      graft.operators.ConflationPipeline.restrictions(spark, 10), segs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("3-way join broadcasts the small dimension tables (q03 plan)") {
     val plan = SparkEntry.queries("q03_join3")(spark, dir)
       .queryExecution.executedPlan.toString

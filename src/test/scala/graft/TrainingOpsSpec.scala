@@ -175,6 +175,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding-cosine near-dup finds exactly the planted duplicates") {
+    val corpus = SmokeWorld.nearDupCorpus(emb)
+    val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every planted copy pairs with its source and nothing else: raw
+    // vectors top out at cosine ~0.51 (checked via brute force below)
+    assert(pairs == (0 until 25).map(i => (i.toLong, i + 100000L)).toSet, pairs)
+    // brute-force agreement: exact cosine over ALL pairs at the threshold
+    val e = corpus.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val f = corpus.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val brute = e.crossJoin(f).filter(col("ia") < col("ib"))
+      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= 0.95)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(pairs == brute)
+  }
+
   test("deterministic: rerunning minhash yields identical pairs") {
     val p1 = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .select("id_a", "id_b", "j").collect().map(_.toString).sorted
