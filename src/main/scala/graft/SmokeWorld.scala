@@ -141,6 +141,12 @@ object SmokeWorld {
       emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding"),
       dir, "aux_ann_candidates")
 
+    // IVF candidates (same params as q47): the oracle exact-reranks them
+    val ivfCents = graft.operators.Ivf.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
+    write(graft.operators.Ivf.candidates(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", ivfCents, nprobe = 4),
+      dir, "aux_ivf_candidates")
+
     // near-dup corpus = embeddings ∪ perturbed copies (the raw synthetic
     // vectors are uniform — max pairwise cosine ≈ 0.51 — so duplicates are
     // planted deterministically, ids offset by 100000)

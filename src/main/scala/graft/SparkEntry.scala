@@ -318,7 +318,16 @@ object SparkEntry {
     // planted perturbed duplicates
     "q46_cosine_neardup" -> ((s, d) => graft.operators.Similarity
       .cosineNearDupPairs(SmokeWorld.nearDupCorpus(
-        t(s, d, "embeddings")), "vec_id", "embedding"))
+        t(s, d, "embeddings")), "vec_id", "embedding")),
+
+    // IVF coarse-quantizer ANN (the k-means scale path beside LSH): probed
+    // inverted lists exact-reranked; oracle re-ranks the materialized
+    // candidate set
+    "q47_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Ivf.ivfTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -720,6 +729,20 @@ object SparkEntry {
         |  round(list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
         | FROM c JOIN e a ON c.id_a = a.vec_id JOIN e b ON c.id_b = b.vec_id)
-        |WHERE cos >= 0.95""".stripMargin
+        |WHERE cos >= 0.95""".stripMargin,
+
+    "q47_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT query_id, neighbor_id
+        |  FROM read_parquet('__AUX__/aux_ivf_candidates/*.parquet')),
+        |s AS (SELECT c.query_id, c.neighbor_id,
+        |   round(list_dot_product(q.v, n.v)
+        |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS sim
+        | FROM c JOIN e q ON c.query_id = q.vec_id JOIN e n ON c.neighbor_id = n.vec_id)
+        |SELECT query_id, neighbor_id, rank, sim FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        | FROM s) WHERE rank <= 5""".stripMargin
   )
 }

@@ -192,6 +192,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pairs == brute)
   }
 
+  test("IVF ANN: planted neighbors found, deterministic across reruns") {
+    import graft.operators.Ivf
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + (i % 7).cast("float") * lit(0.01f)).as("embedding"))
+    val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val ivf = Ivf.ivfTopK(planted, corpus, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // a perturbed copy lands in (or probes into) its source's cluster:
+    // top-1 must be the source for the vast majority
+    val hits = (0 until 20).count(i => ivf.get(i + 100000L).contains(i.toLong))
+    assert(hits >= 16, s"top-1 hits: $hits/20")
+    // fixed-point centroid sums ⇒ bit-identical index and results on rerun
+    val again = Ivf.ivfTopK(planted, corpus, "vec_id", "embedding", k = 1)
+      .collect().map(_.toString).sorted
+    val first = Ivf.ivfTopK(planted, corpus, "vec_id", "embedding", k = 1)
+      .collect().map(_.toString).sorted
+    assert(again.sameElements(first))
+    // probed-list candidates never degenerate to a cross product
+    val cents = Ivf.trainCentroids(corpus, "vec_id", "embedding", nlist = 16)
+    val plan = Ivf.candidates(planted, corpus, "vec_id", "embedding", cents, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("deterministic: rerunning minhash yields identical pairs") {
     val p1 = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .select("id_a", "id_b", "j").collect().map(_.toString).sorted
