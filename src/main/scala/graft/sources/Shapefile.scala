@@ -1,0 +1,214 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.{ByteBuffer, ByteOrder}
+
+/**
+ * S5/S10: ESRI shapefile scan + export, clean-room from the public format
+ * spec ("ESRI Shapefile Technical Description", 1998): .shp geometry
+ * records (PolyLine type 3 / Point type 1), .dbf (dBase III) attributes.
+ *
+ * The reference shells out to ogr2ogr for this format
+ * (bin/data_transforming scripts); here the READ path is native and distributed:
+ * one shapefile is inherently a ≤2 GB single file, so the unit of
+ * parallelism is the FILE — `spark.read.format("binaryFile")` over a glob
+ * fans a directory of shapefiles across executors, and each file's records
+ * parse inside one task. The WRITE path is a single-file export utility
+ * (like the GeoJSON FeatureCollection envelope, S8): the format's monolithic
+ * headers carry global record counts/bboxes and cannot be parallelized.
+ */
+object Shapefile {
+
+  val schema: StructType = StructType(Seq(
+    StructField("record_no", IntegerType, nullable = false),
+    StructField("shape_type", IntegerType, nullable = false),
+    StructField("geometry", ArrayType(ArrayType(DoubleType)), nullable = true),
+    StructField("attributes", MapType(StringType, StringType), nullable = true)))
+
+  // ------------------------------------------------------------------ read
+
+  /** Parse one .shp payload: Seq of (recordNo, shapeType, coords). PolyLine
+    * parts are concatenated in part order (multi-part lines are rare in the
+    * reference's road data; part offsets are honored for slicing). */
+  def parseShp(bytes: Array[Byte]): Seq[(Int, Int, Seq[Seq[Double]])] = {
+    val buf = ByteBuffer.wrap(bytes)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    require(buf.getInt(0) == 9994, "not a shapefile (file code != 9994)")
+    val fileLenBytes = buf.getInt(24).toLong * 2
+    var pos = 100
+    val out = Vector.newBuilder[(Int, Int, Seq[Seq[Double]])]
+    while (pos + 8 <= fileLenBytes) {
+      val recNo = buf.getInt(pos)
+      val contentLenBytes = buf.getInt(pos + 4) * 2
+      val c = ByteBuffer.wrap(bytes, pos + 8, contentLenBytes)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      val shapeType = c.getInt
+      shapeType match {
+        case 1 => // Point
+          val x = c.getDouble; val y = c.getDouble
+          out += ((recNo, 1, Seq(Seq(x, y))))
+        case 3 | 5 => // PolyLine / Polygon: bbox, numParts, numPoints, parts, points
+          c.position(c.position() + 32)
+          val nParts = c.getInt
+          val nPoints = c.getInt
+          c.position(c.position() + 4 * nParts)
+          val pts = Vector.newBuilder[Seq[Double]]
+          var i = 0
+          while (i < nPoints) { pts += Seq(c.getDouble, c.getDouble); i += 1 }
+          out += ((recNo, shapeType, pts.result()))
+        case 0 => // Null shape
+          out += ((recNo, 0, Seq.empty))
+        case t =>
+          throw new IllegalArgumentException(s"unsupported shape type $t")
+      }
+      pos += 8 + contentLenBytes
+    }
+    out.result()
+  }
+
+  /** Parse a .dbf payload: per record, fieldName → trimmed string value. */
+  def parseDbf(bytes: Array[Byte]): Seq[Map[String, String]] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nRecords = buf.getInt(4)
+    val headerSize = buf.getShort(8) & 0xFFFF
+    val recordSize = buf.getShort(10) & 0xFFFF
+    // field descriptors: 32 bytes each, from offset 32 until the 0x0D mark
+    val fields = Vector.newBuilder[(String, Int)]
+    var off = 32
+    while (off < headerSize - 1 && bytes(off) != 0x0D) {
+      val name = new String(bytes, off, 11, "US-ASCII").takeWhile(c => c != '\u0000' && c != ' ')
+      val len = bytes(off + 16) & 0xFF
+      fields += ((name, len))
+      off += 32
+    }
+    val fs = fields.result()
+    (0 until nRecords).map { r =>
+      val base = headerSize + r.toLong * recordSize
+      var p = base.toInt + 1 // skip deletion flag
+      fs.map { case (name, len) =>
+        val v = new String(bytes, p, len, "US-ASCII").trim
+        p += len
+        name -> v
+      }.toMap
+    }
+  }
+
+  /**
+   * Distributed scan: `pathGlob` matches .shp files; the sibling .dbf (same
+   * stem) is read for attributes when present. One task per file.
+   */
+  def read(spark: SparkSession, pathGlob: String): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.shp").load(pathGlob)
+      .select(col("path"), col("content"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    files.flatMap { fileRow =>
+      val path = fileRow.getString(0)
+      val shp = fileRow.getAs[Array[Byte]](1)
+      val dbfPath = new org.apache.hadoop.fs.Path(
+        new java.net.URI(path.replaceAll("\\.shp$", ".dbf")))
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fs = dbfPath.getFileSystem(conf)
+      val attrs: Seq[Map[String, String]] =
+        if (fs.exists(dbfPath)) {
+          val in = fs.open(dbfPath)
+          try {
+            val len = fs.getFileStatus(dbfPath).getLen.toInt
+            val b = new Array[Byte](len)
+            in.readFully(0, b)
+            parseDbf(b)
+          } finally in.close()
+        } else Seq.empty
+      parseShp(shp).map { case (recNo, st, coords) =>
+        val a = if (recNo - 1 < attrs.length && recNo >= 1) attrs(recNo - 1) else null
+        Row(recNo, st, coords, a)
+      }
+    }(enc)
+  }
+
+  // ----------------------------------------------------------------- write
+
+  private def shpRecord(recNo: Int, coords: Seq[Seq[Double]]): Array[Byte] = {
+    val nPoints = coords.length
+    val contentLen = 4 + 32 + 4 + 4 + 4 + 16 * nPoints // type+bbox+counts+parts+points
+    val b = ByteBuffer.allocate(8 + contentLen)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(recNo)
+    b.putInt(contentLen / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(3) // PolyLine
+    val xs = coords.map(_.head); val ys = coords.map(_(1))
+    b.putDouble(xs.min); b.putDouble(ys.min); b.putDouble(xs.max); b.putDouble(ys.max)
+    b.putInt(1); b.putInt(nPoints); b.putInt(0)
+    coords.foreach { p => b.putDouble(p.head); b.putDouble(p(1)) }
+    b.array()
+  }
+
+  private def mainHeader(fileLenBytes: Int, shapeType: Int,
+      bbox: (Double, Double, Double, Double)): Array[Byte] = {
+    val b = ByteBuffer.allocate(100)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(9994); b.position(24); b.putInt(fileLenBytes / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(1000); b.putInt(shapeType)
+    b.putDouble(bbox._1); b.putDouble(bbox._2); b.putDouble(bbox._3); b.putDouble(bbox._4)
+    // z/m ranges stay 0
+    b.position(100)
+    b.array()
+  }
+
+  /**
+   * Single-file PolyLine export of (id: string, geometry: array<array<double>>)
+   * rows: writes `<base>.shp`, `<base>.shx`, and a `<base>.dbf` with one
+   * C(64) "id" column. Driver-side by design — see object doc.
+   */
+  def writePolylines(rows: Seq[(String, Seq[Seq[Double]])], base: String): Unit = {
+    val recs = rows.zipWithIndex.map { case ((_, coords), i) => shpRecord(i + 1, coords) }
+    val fileLen = 100 + recs.map(_.length).sum
+    val allPts = rows.flatMap(_._2)
+    val bbox = if (allPts.isEmpty) (0.0, 0.0, 0.0, 0.0)
+      else (allPts.map(_.head).min, allPts.map(_(1)).min,
+        allPts.map(_.head).max, allPts.map(_(1)).max)
+    val shp = new java.io.FileOutputStream(base + ".shp")
+    try {
+      shp.write(mainHeader(fileLen, 3, bbox))
+      recs.foreach(shp.write)
+    } finally shp.close()
+    // .shx: same header (its own length), then (offset, contentLen) per record
+    val shx = new java.io.FileOutputStream(base + ".shx")
+    try {
+      shx.write(mainHeader(100 + 8 * recs.length, 3, bbox))
+      var off = 100
+      recs.foreach { r =>
+        val b = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+        b.putInt(off / 2); b.putInt((r.length - 8) / 2)
+        shx.write(b.array()); off += r.length
+      }
+    } finally shx.close()
+    // .dbf: dBase III, one C(64) column "id"
+    val fieldLen = 64
+    val headerSize = 32 + 32 + 1
+    val recordSize = 1 + fieldLen
+    val dbf = ByteBuffer.allocate(headerSize + rows.length * recordSize + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    dbf.put(0x03.toByte); dbf.put(126.toByte); dbf.put(1.toByte); dbf.put(1.toByte)
+    dbf.putInt(rows.length)
+    dbf.putShort(headerSize.toShort); dbf.putShort(recordSize.toShort)
+    dbf.position(32)
+    val name = "id".getBytes("US-ASCII")
+    dbf.put(java.util.Arrays.copyOf(name, 11))
+    dbf.put('C'.toByte); dbf.position(dbf.position() + 4)
+    dbf.put(fieldLen.toByte)
+    dbf.position(headerSize - 1); dbf.put(0x0D.toByte)
+    rows.foreach { case (id, _) =>
+      dbf.put(' '.toByte)
+      dbf.put(java.util.Arrays.copyOf(
+        id.getBytes("US-ASCII"), fieldLen).map(b => if (b == 0) ' '.toByte else b))
+    }
+    dbf.put(0x1A.toByte)
+    val out = new java.io.FileOutputStream(base + ".dbf")
+    try out.write(dbf.array()) finally out.close()
+  }
+}

@@ -110,6 +110,30 @@ class SourcesSpec extends AnyFunSuite {
       r.getString(3) == "9002" && r.getString(4) == "no_left_turn")
   }
 
+  test("S5/S10: shapefile export round-trips through the distributed scan") {
+    import graft.sources.Shapefile
+    val dir = Files.createTempDirectory("shp").toFile
+    val base = new java.io.File(dir, "roads").getPath
+    // polylines straight from the synthetic network
+    val rows = (0 until 5).map { r =>
+      (s"road_$r", graft.synth.Synth.roadCoords(r, 40).map(_.toSeq).toSeq)
+    }
+    Shapefile.writePolylines(rows, base)
+    assert(new java.io.File(base + ".shp").length() > 100)
+    assert(new java.io.File(base + ".shx").length() == 100 + 8 * rows.length)
+    val back = Shapefile.read(spark, dir.getPath).cache()
+    assert(back.count() == 5)
+    // geometry round-trips double-exact
+    val got = back.collect().map { r =>
+      r.getAs[Map[String, String]]("attributes")("id") ->
+        r.getSeq[Seq[Double]](2)
+    }.toMap
+    rows.foreach { case (id, coords) =>
+      assert(got(id) == coords, s"geometry mismatch for $id")
+    }
+    assert(back.filter(col("shape_type") =!= 3).count() == 0)
+  }
+
   test("S3/S11 loop: the OSM XML way sink reads back with the XML scan") {
     val segments = graft.operators.ConflationPipeline.run(spark, 200, 20)
     val path = Files.createTempDirectory("roundtrip").toString + "/ways"
