@@ -24,6 +24,33 @@ object StreamingOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
 
+  /**
+   * Stream-static spatial candidate join — the continuous-ingest shape of
+   * the pipeline's G10 matcher: unbounded pages geocode to features whose
+   * covering cells equi-join the STATIC reference network (small, slowly
+   * changing, broadcastable per micro-batch). Emits (feature_id, ref_id)
+   * candidate pairs per batch; duplicate pairs from multi-cell overlap are
+   * collapsed per micro-batch downstream (a global streaming `distinct`
+   * would grow unbounded state — the batch matcher's distinct covers it on
+   * replay/compaction).
+   */
+  def streamingCandidates(pages: DataFrame,
+      refs: org.apache.spark.sql.Dataset[graft.model.ShstReference],
+      nRoads: Int): DataFrame = {
+    import graft.functions.geo._
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val feats = pages.select(col("url"), col("text")).as[(String, String)]
+      .map { case (u, t) => graft.synth.Synth.geocode(u, t, nRoads) }
+    val fCells = feats.toDF().select(col("id").as("feature_id"),
+      explode(cell_cover_line(col("geometry"),
+        lit(graft.operators.ConflationPipeline.CellLevel))).as("cell"))
+    val rCells = refs.toDF().select(col("shstReferenceId").as("ref_id"),
+      explode(cell_cover_line(col("coordinates"),
+        lit(graft.operators.ConflationPipeline.CellLevel))).as("cell"))
+    fCells.join(rCells, Seq("cell")).select("feature_id", "ref_id")
+  }
+
   case class UrlEvent(url: String, text: String)
   case class SeenState(firstText: String)
 

@@ -39,6 +39,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-static spatial candidate join matches the batch matcher's pairs") {
+    val nRoads = 10
+    val pages = graft.operators.ConflationPipeline.pages(spark, 60, nRoads).toDF()
+    val tmp = java.nio.file.Files.createTempDirectory("streamcand").toString
+    pages.select("url", "text").repartition(3).write.mode("overwrite").parquet(tmp)
+    val refs = graft.operators.ConflationPipeline.references(spark, nRoads).cache()
+    val stream = spark.readStream
+      .schema(pages.select("url", "text").schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val cand = StreamingOps.streamingCandidates(stream, refs, nRoads)
+    val q = cand.writeStream.outputMode("append")
+      .format("memory").queryName("candout").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("candout")
+      .select("feature_id", "ref_id").distinct()
+      .as[(String, String)].collect().toSet
+    // batch twin: the pipeline's candidate join (pre-refinement pairs)
+    val feats = graft.operators.ConflationPipeline.features(
+      graft.operators.ConflationPipeline.pages(spark, 60, nRoads), nRoads)
+    val batch = graft.operators.ConflationPipeline.matchCandidates(feats, refs)
+      .select("feature_id", "ref_id").distinct()
+      .as[(String, String)].collect().toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming first-writer-wins dedup emits each url exactly once") {
     // duplicate the pages stream 3× — dedup must still emit each url once
     val pages = graft.operators.ConflationPipeline.pages(spark, 50, 10).toDF()
