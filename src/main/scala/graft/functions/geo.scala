@@ -92,5 +92,6 @@ object geo {
     r("directed_hausdorff_km") { case Seq(a, b) => DirectedHausdorff(a, b) }
     r("tile_x") { case Seq(a, b) => TileX(a, b) }
     r("tile_y") { case Seq(a, b) => TileY(a, b) }
+    r("cosine_sim") { case Seq(a, b) => CosineSim(a, b) }
   }
 }
