@@ -155,6 +155,11 @@ object SmokeWorld {
     write(graft.operators.Similarity.lshSelfCandidates(nd, "vec_id", "embedding"),
       dir, "aux_neardup_candidates")
 
+    // positional k-gram hashes (q49's winnowing input): the oracle
+    // recomputes the sliding-window-min selection relationally over them
+    write(graft.operators.Dedup.kgramHashes(docs, "doc_id", "text", k = 8),
+      dir, "aux_doc_kgrams")
+
     val media = docs.select(col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("media"))
     write(graft.operators.Multimodal.decodeAndExtract(media)

@@ -327,7 +327,22 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       graft.operators.Ivf.ivfTopK(
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
-    })
+    }),
+
+    // BPE-style pre-tokenizer count (GPT-2 pattern family, lookahead-free
+    // so the Java and RE2 engines agree): contractions, letter runs,
+    // digit runs, punctuation runs, whitespace runs
+    "q48_bpe_tokens" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"), lit(0)))
+          .as("n_bpe_tokens"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"))),
+
+    // winnowing fingerprint (rolling-hash k-grams, sliding-window minima);
+    // oracle recomputes the selection over the materialized hash table
+    "q49_winnow_fingerprint" -> ((s, d) => graft.operators.Dedup
+      .winnowedFingerprint(t(s, d, "documents"), "doc_id", "text", k = 8, w = 4))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -743,6 +758,25 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank, sim FROM (
         | SELECT query_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        | FROM s) WHERE rank <= 5""".stripMargin
+        | FROM s) WHERE rank <= 5""".stripMargin,
+
+    "q48_bpe_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text,
+        |   '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
+        |   AS n_bpe_tokens,
+        | array_length(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
+        |FROM documents""".stripMargin,
+
+    "q49_winnow_fingerprint" ->
+      """WITH g AS (SELECT doc_id, pos, h
+        |  FROM read_parquet('__AUX__/aux_doc_kgrams/*.parquet')),
+        |n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |s AS (SELECT g.doc_id, g.pos, n.n,
+        |  min(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        | FROM g JOIN n ON g.doc_id = n.doc_id)
+        |SELECT doc_id, count(DISTINCT sel) AS n_fp, bit_xor(DISTINCT sel) AS fp_xor
+        |FROM s WHERE pos <= n - 3 OR pos = 1 GROUP BY 1""".stripMargin
   )
 }

@@ -220,6 +220,40 @@ object Dedup {
       .select("doc_a", "doc_b", "j")
   }
 
+  /** Positional k-gram hash table (doc_id, pos, h) — the winnowing input.
+    * Codegen'd: sequence+transform+xxhash64 then posexplode. */
+  def kgramHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      posexplode(expr(s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+        s"i -> xxhash64(substring($textCol, i, $k)))")).as(Seq("pos", "h")))
+
+  /**
+   * Winnowing fingerprint (Schleimer, Wilkerson, Aiken 2003, public): the
+   * DISTINCT minima of every `w`-wide sliding window over the k-gram
+   * rolling-hash sequence — any substring match of length ≥ k + w - 1
+   * shares a selected hash. Output per doc: (n_fp, fp_xor) — the selected
+   * set's size and order-independent XOR digest.
+   *
+   * Relational shape: the sliding-window min is a frame-bounded window
+   * function over the positional hash table, so the whole operator stays
+   * declarative (and the DuckDB oracle recomputes it verbatim).
+   */
+  def winnowedFingerprint(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = kgramHashes(df, idCol, textCol, k)
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    g.withColumn("__n", count(lit(1)).over(
+        Window.partitionBy("doc_id")))
+      .withColumn("sel", min("h").over(win))
+      // only FULL windows select (positions past n-w+1 have short frames)
+      .filter(col("pos") <= col("__n") - w + 1 || col("pos") === 1)
+      .groupBy("doc_id")
+      .agg(countDistinct("sel").as("n_fp"),
+        expr("bit_xor(DISTINCT sel)").as("fp_xor"))
+  }
+
   /** Pure 64-bit SimHash over tokens (bit-majority of token hashes). */
   def simhash64(tokens: Seq[String]): Long = {
     val votes = new Array[Int](64)

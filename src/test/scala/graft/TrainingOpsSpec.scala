@@ -218,6 +218,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("winnowing: docs sharing a long substring share a selected hash") {
+    // guarantee (Schleimer et al.): any common substring of length >=
+    // k + w - 1 (= 11 here) forces a common selected k-gram hash
+    val shared = "thisrunofcharactersiswaylongerthanthreshold"
+    val df = Seq(
+      (1L, s"prefix-one $shared suffix-one"),
+      (2L, s"completely different beginning $shared and end"),
+      (3L, "nothing in common with the others at all here")).toDF("doc_id", "text")
+    val g = graft.operators.Dedup.kgramHashes(df, "doc_id", "text", 8)
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    val sel = g.withColumn("__n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("sel", min("h").over(win))
+      .filter(col("pos") <= col("__n") - 3 || col("pos") === 1)
+      .select("doc_id", "sel").distinct()
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((sel(1L) intersect sel(2L)).nonEmpty, "shared substring must collide")
+    // and the summary operator is consistent with the raw selection
+    val fp = graft.operators.Dedup.winnowedFingerprint(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(fp(1L) == sel(1L).size && fp(2L) == sel(2L).size && fp(3L) == sel(3L).size)
+  }
+
   test("deterministic: rerunning minhash yields identical pairs") {
     val p1 = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .select("id_a", "id_b", "j").collect().map(_.toString).sorted
