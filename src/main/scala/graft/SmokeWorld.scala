@@ -129,7 +129,7 @@ object SmokeWorld {
     // oracle takes exact top-k over it, checking cell-ring completeness
     write(Knn_allDistances(knnPoints(spark), h.refs), dir, "aux_knn_dists")
 
-    writeNdjsonFixture(spark, dir)
+    writeNdjsonFixture(spark, dir, force = true)
 
     // --- sf-dependent side tables ---------------------------------------
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -175,12 +175,14 @@ object SmokeWorld {
    * S1 ingest fixture: the smoke features as gzipped GeoJSON NDJSON, plus
    * planted bad rows (a <2-point geometry, a missing geometry, a
    * wrong-county feature, and a malformed-JSON line in its own .gz part) —
-   * q45 and its DuckDB oracle must drop exactly the same rows. Idempotent:
-   * skipped when the directory already exists with a _SUCCESS marker.
+   * q45 and its DuckDB oracle must drop exactly the same rows. Lazily
+   * idempotent (skipped when a _SUCCESS marker exists) unless `force`d —
+   * Verify forces so a fixture from an older schema can't go stale.
    */
-  def writeNdjsonFixture(spark: SparkSession, dir: String = auxDir): Unit = synchronized {
+  def writeNdjsonFixture(spark: SparkSession, dir: String = auxDir,
+      force: Boolean = false): Unit = synchronized {
     val target = new java.io.File(s"$dir/aux_ndjson")
-    if (new java.io.File(target, "_SUCCESS").exists()) return
+    if (!force && new java.io.File(target, "_SUCCESS").exists()) return
     val h = apply(spark)
     val goodLines = h.features.toDF().select(to_json(struct(
       lit("Feature").as("type"),
