@@ -42,10 +42,15 @@ object SmokeWorld {
       val p = ConflationPipeline.pages(spark, NPages, NRoads)
       val f = ConflationPipeline.features(p, NRoads).persist(StorageLevel.MEMORY_AND_DISK)
       val r = ConflationPipeline.references(spark, NRoads).persist(StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint (not persist): the segments' lineage nests four
+      // persisted subtrees whose InMemoryRelations re-print recursively —
+      // a 7 MB / 19k-line plan string per downstream query, all driver-side
+      // analysis cost. Truncating leaves a flat scan for q34/q40–q44.
+      // (On a real cluster this is a reliable checkpoint / parquet bounce.)
       val segs = ConflationPipeline
         .conflate(r, ConflationPipeline.enrichMatches(f,
           ConflationPipeline.matches(ConflationPipeline.matchCandidates(f, r))))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       cached = (spark, Handles(f, r, segs))
     }
     cached._2

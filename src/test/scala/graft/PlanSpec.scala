@@ -44,6 +44,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("smoke-world consumers plan against a truncated lineage") {
+    // the conflation cache nests four persisted subtrees; without lineage
+    // truncation every downstream query re-analyzes a 19k-line plan
+    SmokeWorld(spark).segments.count()
+    val plan = SparkEntry.queries("q43_output_projection")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.length < 300,
+      s"plan blew up: ${plan.length} chars / ${plan.linesIterator.length} lines")
+  }
+
   test("3-way join broadcasts the small dimension tables (q03 plan)") {
     val plan = SparkEntry.queries("q03_join3")(spark, dir)
       .queryExecution.executedPlan.toString
