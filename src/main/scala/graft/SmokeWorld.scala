@@ -32,6 +32,7 @@ object SmokeWorld {
   final case class Handles(
       features: Dataset[TargetMapFeature],
       refs: Dataset[ShstReference],
+      matches: DataFrame,
       segments: Dataset[ConflationSegment])
 
   @volatile private var cached: (SparkSession, Handles) = null
@@ -42,16 +43,16 @@ object SmokeWorld {
       val p = ConflationPipeline.pages(spark, NPages, NRoads)
       val f = ConflationPipeline.features(p, NRoads).persist(StorageLevel.MEMORY_AND_DISK)
       val r = ConflationPipeline.references(spark, NRoads).persist(StorageLevel.MEMORY_AND_DISK)
-      // localCheckpoint (not persist): the segments' lineage nests four
+      // localCheckpoint (not persist): these lineages nest several
       // persisted subtrees whose InMemoryRelations re-print recursively —
       // a 7 MB / 19k-line plan string per downstream query, all driver-side
-      // analysis cost. Truncating leaves a flat scan for q34/q40–q44.
+      // analysis cost. Truncating leaves a flat scan for q34/q40–q44/q50.
       // (On a real cluster this is a reliable checkpoint / parquet bounce.)
-      val segs = ConflationPipeline
-        .conflate(r, ConflationPipeline.enrichMatches(f,
-          ConflationPipeline.matches(ConflationPipeline.matchCandidates(f, r))))
+      val m = ConflationPipeline.enrichMatches(f,
+          ConflationPipeline.matches(ConflationPipeline.matchCandidates(f, r)))
         .localCheckpoint(true)
-      cached = (spark, Handles(f, r, segs))
+      val segs = ConflationPipeline.conflate(r, m).localCheckpoint(true)
+      cached = (spark, Handles(f, r, m, segs))
     }
     cached._2
   }
@@ -159,6 +160,12 @@ object SmokeWorld {
     write(nd, dir, "aux_neardup_corpus")
     write(graft.operators.Similarity.lshSelfCandidates(nd, "vec_id", "embedding"),
       dir, "aux_neardup_candidates")
+
+    // enriched-match bearings (q50's QA input)
+    write(h.matches.select(col("targetMap"),
+      col("matchedTargetMapMicroLevelBearing").as("matched_bearing"),
+      col("targetMapMicroLevelBearing").as("tm_bearing")),
+      dir, "aux_match_bearings")
 
     // positional k-gram hashes (q49's winnowing input): the oracle
     // recomputes the sliding-window-min selection relationally over them

@@ -342,7 +342,12 @@ object SparkEntry {
     // winnowing fingerprint (rolling-hash k-grams, sliding-window minima);
     // oracle recomputes the selection over the materialized hash table
     "q49_winnow_fingerprint" -> ((s, d) => graft.operators.Dedup
-      .winnowedFingerprint(t(s, d, "documents"), "doc_id", "text", k = 8, w = 4))
+      .winnowedFingerprint(t(s, d, "documents"), "doc_id", "text", k = 8, w = 4)),
+
+    // QA bearing-delta gate over the enriched matches (45° threshold,
+    // axis-folded for bidirectional matches)
+    "q50_qa_bearing" -> ((s, _) =>
+      ConflationPipeline.qaBearing(SmokeWorld(s).matches))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -777,6 +782,22 @@ object SparkEntry {
         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
         | FROM g JOIN n ON g.doc_id = n.doc_id)
         |SELECT doc_id, count(DISTINCT sel) AS n_fp, bit_xor(DISTINCT sel) AS fp_xor
-        |FROM s WHERE pos <= n - 3 OR pos = 1 GROUP BY 1""".stripMargin
+        |FROM s WHERE pos <= n - 3 OR pos = 1 GROUP BY 1""".stripMargin,
+
+    "q50_qa_bearing" ->
+      """WITH d AS (
+        | SELECT "targetMap" AS "targetMap",
+        |  CASE WHEN d0 > 180 THEN 360 - d0 ELSE d0 END AS delta
+        | FROM (
+        |  SELECT "targetMap",
+        |   abs(((matched_bearing - tm_bearing) % 360 + 360) % 360) AS d0
+        |  FROM read_parquet('__AUX__/aux_match_bearings/*.parquet')
+        |  WHERE matched_bearing >= 0))
+        |SELECT "targetMap", count(*) AS n_matches,
+        | CAST(sum(CASE WHEN least(delta, 180 - delta) <= 45 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_bearing_ok,
+        | round(CAST(sum(CASE WHEN least(delta, 180 - delta) <= 45 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS bearing_ok_rate
+        |FROM d GROUP BY 1""".stripMargin
   )
 }

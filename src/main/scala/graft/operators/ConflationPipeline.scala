@@ -429,6 +429,27 @@ object ConflationPipeline {
       .withColumn("passes", abs($col("len_ratio_diff")) <= 0.05)
   }
 
+  /** QA bearing gate (north-star "bearing-delta thresholds"; the constant
+    * is the meso flip rule's 45°, addMesoLevelMetadata.js:11): share of
+    * toposorted matches whose chain bearing lies within the threshold of
+    * the feature's micro bearing ALONG EITHER ORIENTATION — bidirectional
+    * (RIS) matches legitimately ride the opposite reference, so the delta
+    * is folded onto the [0°, 90°] axis before gating. Unsorted-fallback
+    * matches (bearing −1) are excluded. */
+  def qaBearing(matchesDf: DataFrame, thresholdDeg: Double = 45.0): DataFrame = {
+    val delta = graft.functions.geo.bearing_delta(
+      $col("matchedTargetMapMicroLevelBearing").cast("double"),
+      $col("targetMapMicroLevelBearing").cast("double"))
+    matchesDf
+      .filter($col("matchedTargetMapMicroLevelBearing") >= 0)
+      .withColumn("__d", least(delta, lit(180.0) - delta))
+      .groupBy("targetMap")
+      .agg(count(lit(1)).as("n_matches"),
+        sum(when($col("__d") <= thresholdDeg, 1).otherwise(0)).as("n_bearing_ok"))
+      .withColumn("bearing_ok_rate",
+        round($col("n_bearing_ok") / $col("n_matches"), 6))
+  }
+
   /** QA summary per target map (A8). */
   def qaSummary(qa: DataFrame): DataFrame =
     qa.groupBy("targetMap").agg(
