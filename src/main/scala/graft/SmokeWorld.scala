@@ -70,6 +70,25 @@ object SmokeWorld {
     emb.select(col("vec_id"), col("embedding")).union(planted)
   }
 
+  /** q30/q47's ANN corpus: the embeddings plus 5 planted near-duplicates of
+    * each query vector (vec_id < 10) at ids 200000 + 10·q + j. Perturbation
+    * is ±6e-5 per component (angle ≈ 1.3e-4 rad, cosine ≈ 1 − 1e-8): the
+    * exact top-5 of every query IS its planted set, so a DuckDB brute-force
+    * top-k over this corpus is ground truth the Spark side cannot influence
+    * — the LSH/IVF answers are graded on recall, not on re-ranking their
+    * own candidates (VERDICT r2 "Next round" #2). */
+  def annCorpus(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val dups = (0 until 5).map { j =>
+      emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") * 10 + lit(200000 + j)).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + ((i + lit(j)) % 7 - 3).cast("float") * lit(2e-5f))
+            .as("embedding"))
+    }
+    dups.foldLeft(base)(_ union _)
+  }
+
   /** q31's deterministic query points (nation-key lattice, 25 points). */
   def knnPoints(spark: SparkSession): DataFrame =
     spark.range(25).toDF("point_id")
@@ -142,24 +161,18 @@ object SmokeWorld {
     write(graft.operators.Dedup.simhashTable(docs, "doc_id", "text"),
       dir, "aux_doc_simhash")
 
+    // ANN ground-truth corpus (planted near-duplicates, see annCorpus):
+    // q30's LSH and q47's IVF are graded against DuckDB brute-force top-k
+    // over this table — the candidate sets themselves are NOT materialized,
+    // so the oracle is independent of the Spark-side blocking
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    write(graft.operators.Similarity.lshCandidates(
-      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding"),
-      dir, "aux_ann_candidates")
-
-    // IVF candidates (same params as q47): the oracle exact-reranks them
-    val ivfCents = graft.operators.Ivf.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
-    write(graft.operators.Ivf.candidates(
-      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", ivfCents, nprobe = 4),
-      dir, "aux_ivf_candidates")
+    write(annCorpus(emb), dir, "aux_ann_corpus")
 
     // near-dup corpus = embeddings ∪ perturbed copies (the raw synthetic
     // vectors are uniform — max pairwise cosine ≈ 0.51 — so duplicates are
-    // planted deterministically, ids offset by 100000)
-    val nd = nearDupCorpus(emb)
-    write(nd, dir, "aux_neardup_corpus")
-    write(graft.operators.Similarity.lshSelfCandidates(nd, "vec_id", "embedding"),
-      dir, "aux_neardup_candidates")
+    // planted deterministically, ids offset by 100000); q46's oracle
+    // brute-forces ALL pairs over it
+    write(nearDupCorpus(emb), dir, "aux_neardup_corpus")
 
     // enriched-match bearings (q50's QA input)
     write(h.matches.select(col("targetMap"),

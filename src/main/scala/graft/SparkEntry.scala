@@ -234,10 +234,14 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
     }),
 
+    // graded against DuckDB brute-force exact top-k over the FULL planted
+    // corpus (ground truth — the LSH blocking must actually recall the
+    // planted near-duplicates, VERDICT r2 #2)
     "q30_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       graft.operators.Similarity.lshTopK(
-        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+        emb.filter(col("vec_id") < 10), SmokeWorld.annCorpus(emb),
+        "vec_id", "embedding", k = 5)
     }),
 
     "q31_knn_cells" -> ((s, _) => graft.operators.Knn.nearestReferences(
@@ -321,12 +325,13 @@ object SparkEntry {
         t(s, d, "embeddings")), "vec_id", "embedding")),
 
     // IVF coarse-quantizer ANN (the k-means scale path beside LSH): probed
-    // inverted lists exact-reranked; oracle re-ranks the materialized
-    // candidate set
+    // inverted lists exact-reranked; graded against DuckDB brute-force
+    // exact top-k over the full planted corpus (ground truth)
     "q47_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       graft.operators.Ivf.ivfTopK(
-        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+        emb.filter(col("vec_id") < 10), SmokeWorld.annCorpus(emb),
+        "vec_id", "embedding", k = 5)
     }),
 
     // BPE-style pre-tokenizer count (GPT-2 pattern family, lookahead-free
@@ -590,19 +595,21 @@ object SparkEntry {
         |   ON a.doc_id < b.doc_id)
         |WHERE hamming <= 3""".stripMargin,
 
+    // ground truth: brute-force exact top-k over the FULL planted corpus —
+    // the Spark side only supplies the corpus rows (input ∪ deterministic
+    // perturbations); candidate selection and ranking are entirely DuckDB's
     "q30_ann_lsh" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |c AS (SELECT query_id, neighbor_id
-        |  FROM read_parquet('__AUX__/aux_ann_candidates/*.parquet')),
-        |s AS (SELECT c.query_id, c.neighbor_id,
-        |   round(list_dot_product(q.v, n.v)
-        |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS sim
-        | FROM c JOIN e q ON c.query_id = q.vec_id JOIN e n ON c.neighbor_id = n.vec_id)
+        |  FROM read_parquet('__AUX__/aux_ann_corpus/*.parquet'))
         |SELECT query_id, neighbor_id, rank, sim FROM (
         | SELECT query_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        | FROM s) WHERE rank <= 5""".stripMargin,
+        | FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   round(list_dot_product(q.v, c.v)
+        |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id))
+        |WHERE rank <= 5""".stripMargin,
 
     "q31_knn_cells" ->
       """SELECT point_id, "shstReferenceId", rank, dist_km FROM (
@@ -739,31 +746,32 @@ object SparkEntry {
         |  AND len(geometry.coordinates) >= 2
         |  AND properties.targetMapCountyCode = '36001'""".stripMargin,
 
+    // ground truth: exact cosine over ALL corpus pairs (the LSH self-join's
+    // recall is graded, not its own candidate set)
     "q46_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM read_parquet('__AUX__/aux_neardup_corpus/*.parquet')),
-        |c AS (SELECT id_a, id_b
-        |  FROM read_parquet('__AUX__/aux_neardup_candidates/*.parquet'))
+        |  FROM read_parquet('__AUX__/aux_neardup_corpus/*.parquet'))
         |SELECT id_a, id_b, cos FROM (
-        | SELECT c.id_a, c.id_b,
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-        | FROM c JOIN e a ON c.id_a = a.vec_id JOIN e b ON c.id_b = b.vec_id)
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.95""".stripMargin,
 
+    // same ground truth as q30: brute-force exact top-k over the planted
+    // corpus, independent of the IVF probing
     "q47_ann_ivf" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |c AS (SELECT query_id, neighbor_id
-        |  FROM read_parquet('__AUX__/aux_ivf_candidates/*.parquet')),
-        |s AS (SELECT c.query_id, c.neighbor_id,
-        |   round(list_dot_product(q.v, n.v)
-        |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS sim
-        | FROM c JOIN e q ON c.query_id = q.vec_id JOIN e n ON c.neighbor_id = n.vec_id)
+        |  FROM read_parquet('__AUX__/aux_ann_corpus/*.parquet'))
         |SELECT query_id, neighbor_id, rank, sim FROM (
         | SELECT query_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        | FROM s) WHERE rank <= 5""".stripMargin,
+        | FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   round(list_dot_product(q.v, c.v)
+        |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id))
+        |WHERE rank <= 5""".stripMargin,
 
     "q48_bpe_tokens" ->
       """SELECT doc_id,
@@ -782,7 +790,7 @@ object SparkEntry {
         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
         | FROM g JOIN n ON g.doc_id = n.doc_id)
         |SELECT doc_id, count(DISTINCT sel) AS n_fp, bit_xor(DISTINCT sel) AS fp_xor
-        |FROM s WHERE pos <= n - 3 OR pos = 1 GROUP BY 1""".stripMargin,
+        |FROM s WHERE pos <= greatest(n - 4, 0) GROUP BY 1""".stripMargin,
 
     "q50_qa_bearing" ->
       """WITH d AS (

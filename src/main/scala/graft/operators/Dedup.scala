@@ -137,14 +137,22 @@ object Dedup {
     val k = shingleK
     val nh = numHashes
     val rpb = rowsPerBand
-    val prepared = df.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
+    // ids ride through the typed kernel as strings (any id type casts to
+    // string losslessly; a long cast NPE'd on non-numeric ids, ADVICE r2)
+    // and cast back to the ORIGINAL type afterwards so the id_a < id_b
+    // canonical order keeps the caller's comparison semantics; null text
+    // degrades to the empty document instead of an executor NPE
+    val idType = df.schema(idCol).dataType
+    val prepared = df
+      .select(col(idCol).cast("string"), coalesce(col(textCol), lit("")))
+      .as[(String, String)]
       .mapPartitions(_.map { case (id, text) =>
         val hs = shingleHashes(text, k)
         val sig = minhashSigFromHashes(hs, nh)
         (id, hs, sig, bandKeys(sig, rpb))
       })
-      .toDF("__id", "__sh", "__sig", "__bands")
+      .toDF("__rawid", "__sh", "__sig", "__bands")
+      .withColumn("__id", col("__rawid").cast(idType)).drop("__rawid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = prepared
       .select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__h")))
@@ -189,22 +197,26 @@ object Dedup {
    * was in > maxDf docs, so it contributed ≤ 1/|A∪B| to any single pair —
    * raise maxDf if that bias matters more than the blowup.
    *
-   * The df window hash-partitions on (partition, gram) — the SAME key the
-   * pair self-join shuffles on, so AQE/exchange-reuse keeps it to one
-   * effective extra pass, not a new full shuffle chain.
+   * The df table is a groupBy (partial aggregation shrinks a hot gram to
+   * ONE row per map task before the shuffle) and the cap is applied as a
+   * left-anti join against the tiny over-cap set — a window over (__p, __g)
+   * instead routed every occurrence of a stop-phrase gram to a single
+   * window task BEFORE the filter could drop it: a gram in 10⁸ docs became
+   * one straggler buffering 10⁸ rows (VERDICT r2 "What's wrong #1"). The
+   * anti-join's build side holds only grams with df > maxDf, so it
+   * broadcasts at any corpus size.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       partitionCol: String, n: Int = 3, threshold: Double = 0.2,
       maxDf: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = df.select(col(idCol).as("__id"), col(partitionCol).as("__p"),
         wordShinglesExpr(textCol, n).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("__id"), col("__p"), explode(col("__sh")).as("__g"))
-    val kept = ex
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("__p", "__g")))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
+    val overCap = ex.groupBy("__p", "__g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("__p", "__g")
+    val kept = ex.join(broadcast(overCap), Seq("__p", "__g"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = kept.groupBy("__id").agg(count(lit(1)).as("__sz"))
     val common = kept.select(col("__id").as("doc_a"), col("__p"), col("__g"))
@@ -247,8 +259,10 @@ object Dedup {
     g.withColumn("__n", count(lit(1)).over(
         Window.partitionBy("doc_id")))
       .withColumn("sel", min("h").over(win))
-      // only FULL windows select (positions past n-w+1 have short frames)
-      .filter(col("pos") <= col("__n") - w + 1 || col("pos") === 1)
+      // pos is 0-based (posexplode): full w-wide windows start at 0..n-w;
+      // a doc with fewer than w k-grams keeps its single whole-doc window
+      // at pos 0 (greatest(n-w,0)=0) so no document silently vanishes
+      .filter(col("pos") <= greatest(col("__n") - w, lit(0)))
       .groupBy("doc_id")
       .agg(countDistinct("sel").as("n_fp"),
         expr("bit_xor(DISTINCT sel)").as("fp_xor"))

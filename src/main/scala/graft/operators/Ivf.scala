@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
  *
  *  1. `nlist` centroids trained with Lloyd iterations (k-means) — init is a
  *     deterministic hash-ordered sample, and per-cluster means accumulate in
- *     FIXED-POINT (value·2⁴⁰ as long): integer addition is order-independent,
+ *     FIXED-POINT (value·2²⁰ as long): integer addition is order-independent,
  *     so the centroids — and therefore every downstream assignment — are
  *     bit-identical at any parallelism (a double-sum mean drifts with
  *     aggregation order and makes the index nondeterministic).
@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
  */
 object Ivf {
 
-  private final val Fixed = 1L << 40
+  /** Fixed-point scale for the deterministic centroid sums. 2²⁰ (≈1e-6
+    * component precision, far below any centroid decision boundary) leaves
+    * 2⁴³ ≈ 8.8e12 of summed unit-scale magnitude per cluster before a long
+    * overflows — 2⁴⁰ capped out at ~8.4M rows/cluster and wrapped SILENTLY
+    * (ADVICE r2). The adds below use Math.addExact so exceeding the budget
+    * fails loudly instead of corrupting centroids. */
+  private final val Fixed = 1L << 20
 
   /** Squared L2 — cheaper than cosine for assignment; for normalized-ish
     * vectors the argmin agrees, and probing is over centroids only. */
@@ -79,7 +85,7 @@ object Ivf {
         .reduceGroups { (a, b) =>
           val s = new Array[Long](a._2.length)
           var i = 0
-          while (i < s.length) { s(i) = a._2(i) + b._2(i); i += 1 }
+          while (i < s.length) { s(i) = Math.addExact(a._2(i), b._2(i)); i += 1 }
           (a._1, s, a._3 + b._3)
         }
         .map(_._2)

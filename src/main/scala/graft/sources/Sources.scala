@@ -55,9 +55,21 @@ object Sources {
         col("properties.targetMapCountyCode").as("targetMapCountyCode"),
         col("geometry.coordinates").as("geometry"))
 
+  /** map_from_entries with the reference's JS-object semantics: a repeated
+    * key takes the LAST value (`obj[k] = v` overwrites) instead of throwing
+    * DUPLICATE_MAP_KEY under spark.sql.mapKeyDedupPolicy=EXCEPTION — real
+    * OSM has repeated tag keys and multi-via restrictions, and one dirty
+    * element must not fail the whole scan. Entry arrays are tiny (tags per
+    * element), so the reversed keep-first scan is O(n²) on n≈10. */
+  private def lastWriterWinsMap(entries: org.apache.spark.sql.Column) = {
+    val rev = reverse(filter(entries, e => e.getField("k").isNotNull))
+    map_from_entries(filter(rev, (e, i) =>
+      !exists(slice(rev, lit(1), i), u => u.getField("k") === e.getField("k"))))
+  }
+
   private def tagsMap(tagCol: org.apache.spark.sql.Column) =
-    map_from_entries(transform(tagCol, t =>
-      struct(t.getField("_k"), t.getField("_v"))))
+    lastWriterWinsMap(transform(tagCol, t =>
+      struct(t.getField("_k").as("k"), t.getField("_v").as("v"))))
 
   // explicit element schemas: inference would type a single <tag>/<nd>/
   // <member> child as a struct instead of a 1-element array
@@ -99,11 +111,13 @@ object Sources {
   def loadRawOsmRestrictions(spark: SparkSession, path: String): DataFrame = {
     val rels = spark.read.format("xml").option("rowTag", "relation")
       .schema(osmRelationSchema).load(path)
+    // members[role] = ref in the reference (loadRawOSM:71): a repeated role
+    // (multi-via restrictions) keeps the last member, same as tagsMap
     def roleRef(role: String) = element_at(
-      map_from_entries(transform(
+      lastWriterWinsMap(transform(
         filter(col("member"), m => m.getField("_role").isNotNull &&
           m.getField("_ref").isNotNull),
-        m => struct(m.getField("_role"), m.getField("_ref")))), role)
+        m => struct(m.getField("_role").as("k"), m.getField("_ref").as("v")))), role)
     rels
       .withColumn("tags", tagsMap(col("tag")))
       .filter(element_at(col("tags"), "type") === "restriction")

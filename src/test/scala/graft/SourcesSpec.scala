@@ -110,6 +110,44 @@ class SourcesSpec extends AnyFunSuite {
       r.getString(3) == "9002" && r.getString(4) == "no_left_turn")
   }
 
+  test("S3: repeated tag keys / multi-via members keep the last value, not crash") {
+    // real-world dirt: a repeated tag key and a restriction with two same-
+    // role members — the reference's `obj[k] = v` keeps the last one; the
+    // scan must do the same instead of DUPLICATE_MAP_KEY-failing (ADVICE r2)
+    val dir = Files.createTempDirectory("osmdirty").toFile
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<osm version="0.6">
+        |  <node id="201" lat="42.70" lon="-73.80">
+        |    <tag k="name" v="first"/>
+        |    <tag k="name" v="second"/>
+        |    <tag k="ref" v="only"/>
+        |  </node>
+        |  <way id="9101">
+        |    <nd ref="201"/>
+        |    <nd ref="201"/>
+        |    <tag k="highway" v="primary"/>
+        |    <tag k="highway" v="service"/>
+        |  </way>
+        |  <relation id="7101">
+        |    <member type="way" ref="9101" role="from"/>
+        |    <member type="node" ref="201" role="via"/>
+        |    <member type="node" ref="202" role="via"/>
+        |    <member type="way" ref="9101" role="to"/>
+        |    <tag k="type" v="restriction"/>
+        |    <tag k="restriction" v="no_u_turn"/>
+        |  </relation>
+        |</osm>""".stripMargin
+    Files.writeString(new java.io.File(dir, "dirty.osm").toPath, xml)
+    val path = dir.getPath + "/dirty.osm"
+    val n = Sources.loadRawOsmNodes(spark, path).head()
+    assert(n.getMap[String, String](3) == Map("name" -> "second", "ref" -> "only"))
+    val w = Sources.loadRawOsmWays(spark, path).head()
+    assert(w.getMap[String, String](2)("highway") == "service")
+    val r = Sources.loadRawOsmRestrictions(spark, path).head()
+    assert(r.getString(2) == "202", "last via member wins")
+  }
+
   test("S5/S10: shapefile export round-trips through the distributed scan") {
     import graft.sources.Shapefile
     val dir = Files.createTempDirectory("shp").toFile
