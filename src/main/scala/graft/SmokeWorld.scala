@@ -201,13 +201,20 @@ object SmokeWorld {
    * planted bad rows (a <2-point geometry, a missing geometry, a
    * wrong-county feature, and a malformed-JSON line in its own .gz part) —
    * q45 and its DuckDB oracle must drop exactly the same rows. Lazily
-   * idempotent (skipped when a _SUCCESS marker exists) unless `force`d —
-   * Verify forces so a fixture from an older schema can't go stale.
+   * idempotent: skipped only when a VERSIONED marker matches AND a data
+   * part actually exists (a bare `_SUCCESS` check kept a stale older-schema
+   * fixture alive for Bench runs and q45 silently threw inside the measured
+   * loop, ADVICE r2); `force` (Verify, Bench warm-up) always rewrites.
    */
+  private val FixtureVersion = 3
+
   def writeNdjsonFixture(spark: SparkSession, dir: String = auxDir,
       force: Boolean = false): Unit = synchronized {
     val target = new java.io.File(s"$dir/aux_ndjson")
-    if (!force && new java.io.File(target, "_SUCCESS").exists()) return
+    val marker = new java.io.File(target, s"_GRAFT_FIXTURE_V$FixtureVersion")
+    val hasParts = Option(target.listFiles())
+      .exists(_.exists(_.getName.endsWith(".txt.gz")))
+    if (!force && marker.exists() && hasParts) return
     val h = apply(spark)
     val goodLines = h.features.toDF().select(to_json(struct(
       lit("Feature").as("type"),
@@ -227,5 +234,7 @@ object SmokeWorld {
       new java.io.FileOutputStream(new java.io.File(target, "part-corrupt.txt.gz")))
     gz.write("{this is not json\n".getBytes("UTF-8"))
     gz.close()
+    // marker LAST: a crash mid-write leaves no marker → next call rewrites
+    java.nio.file.Files.writeString(marker.toPath, s"v$FixtureVersion")
   }
 }

@@ -28,15 +28,25 @@ object Knn {
    */
   def nearestReferences(points: DataFrame, refs: Dataset[ShstReference],
       k: Int, ring: Int = 2): DataFrame = {
+    // ids only through the cell join and the multi-cell-overlap distinct —
+    // a reference's polyline otherwise shuffles once PER COVERING CELL and
+    // again through the distinct (VERDICT r2 #5); geometry and the query
+    // coordinates re-attach once per surviving (point, ref) pair, each an
+    // equi-join Spark can broadcast when the side is small, and AQE's
+    // skew-join split handles hot urban cells on the slim join
     val refCells = refs.toDF()
-      .select(col("shstReferenceId"), col("coordinates"),
+      .select(col("shstReferenceId"),
         explode(cell_cover_line(col("coordinates"), lit(Level))).as("cell"))
-    val probed = points
-      .withColumn("cell", explode(
-        cell_disk(cell_encode(col("lon"), col("lat"), lit(Level)), lit(ring))))
+    val probed = points.select(col("point_id"),
+      explode(cell_disk(cell_encode(col("lon"), col("lat"), lit(Level)),
+        lit(ring))).as("cell"))
+    val cand = probed.join(refCells, Seq("cell"))
+      .select("point_id", "shstReferenceId").distinct()
     val w = Window.partitionBy("point_id").orderBy(col("dist_km"), col("shstReferenceId"))
-    probed.join(refCells, Seq("cell"))
-      .select("point_id", "lon", "lat", "shstReferenceId", "coordinates").distinct()
+    cand
+      .join(refs.toDF().select(col("shstReferenceId"), col("coordinates")),
+        Seq("shstReferenceId"))
+      .join(points.select("point_id", "lon", "lat"), Seq("point_id"))
       .withColumn("dist_km", round(
         element_at(nearest_point_on_line(col("coordinates"), col("lon"), col("lat")), 4), 6))
       .withColumn("rank", row_number().over(w))

@@ -79,6 +79,14 @@ class TrainingOpsSpec extends AnyFunSuite {
     val r = ringed.select("point_id", "rank", "shstReferenceId")
       .as[(Long, Int, String)].collect().toSet
     assert(b.subsetOf(r), s"missing=${(b diff r).take(5)}")
+    // plan shape: the cell join + distinct shuffle ids only — the polyline
+    // payload must not ride through the Exchange under the HashAggregate
+    // that implements the distinct (VERDICT r2 #5)
+    val plan = ringed.queryExecution.executedPlan.toString
+    val distinctAggs = plan.split("\n")
+      .filter(l => l.contains("HashAggregate(keys=[point_id"))
+    assert(distinctAggs.nonEmpty && distinctAggs.forall(!_.contains("coordinates")),
+      distinctAggs.mkString("\n"))
   }
 
   test("multimodal: decode batch shape, metadata propagation, resize, frame sampling") {
