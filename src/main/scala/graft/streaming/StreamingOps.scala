@@ -51,6 +51,45 @@ object StreamingOps {
     fCells.join(rCells, Seq("cell")).select("feature_id", "ref_id")
   }
 
+  /**
+   * The per-micro-batch lineage commit behind [[streamingCandidatesToLineage]]
+   * — exposed because it IS the crash-recovery contract: Structured
+   * Streaming re-executes an uncommitted batch with the SAME batchId on
+   * restart, and the unit key (batchId × ref-hash bucket) makes that replay
+   * idempotent through the [[Lineage]] ledger — already-committed buckets
+   * anti-join away, a partially-committed batch finishes exactly the
+   * missing buckets, and result partitions are dynamic-overwritten, never
+   * appended twice. Returns rows newly committed (0 on a full replay).
+   */
+  def commitCandidateBatch(batch: DataFrame, batchId: Long, resultPath: String,
+      ledgerPath: String, nBuckets: Int = 8): Long = {
+    val work = batch.dropDuplicates("feature_id", "ref_id")
+      .withColumn("unit_key", concat(lit(s"b${batchId}_"),
+        pmod(xxhash64(col("ref_id")), lit(nBuckets))))
+    graft.operators.Lineage.runIncremental(work, "unit_key", resultPath,
+      ledgerPath, runId = s"stream_b$batchId")(identity)
+  }
+
+  /**
+   * §2.10 ∘ north-rule checkpointing, end-to-end: the stream-static
+   * candidate join committed through the per-partition lineage ledger via
+   * foreachBatch. Kill the query mid-stream and restart with the same
+   * checkpoint/result/ledger paths: the final match table is byte-identical
+   * to an uninterrupted run (StreamingSpec asserts this).
+   */
+  def streamingCandidatesToLineage(pages: DataFrame,
+      refs: org.apache.spark.sql.Dataset[graft.model.ShstReference],
+      nRoads: Int, resultPath: String, ledgerPath: String,
+      checkpointPath: String, nBuckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingCandidates(pages, refs, nRoads).writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitCandidateBatch(batch, batchId, resultPath, ledgerPath, nBuckets)
+        ()
+      }
+      .start()
+
   case class UrlEvent(url: String, text: String)
   case class SeenState(firstText: String)
 

@@ -65,6 +65,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("lineage commit: a replayed micro-batch (same batchId) is a no-op") {
+    // Structured Streaming's recovery contract: a batch whose foreachBatch
+    // ran but whose streaming offset was never committed is RE-EXECUTED
+    // with the same batchId after restart — the lineage ledger must make
+    // that replay (and a partial-bucket crash) idempotent
+    val nRoads = 10
+    val refs = graft.operators.ConflationPipeline.references(spark, nRoads).cache()
+    val pages = graft.operators.ConflationPipeline.pages(spark, 60, nRoads).toDF()
+    val cand = StreamingOps.streamingCandidates(
+      pages.select("url", "text"), refs, nRoads)
+    val base = java.nio.file.Files.createTempDirectory("lincommit").toString
+    val (res, led) = (s"$base/result", s"$base/ledger")
+    val n1 = StreamingOps.commitCandidateBatch(cand, 0L, res, led)
+    assert(n1 > 0)
+    val after1 = spark.read.parquet(res).select("feature_id", "ref_id")
+      .collect().map(_.toString).sorted
+    // full replay: nothing recommitted, table unchanged
+    val n2 = StreamingOps.commitCandidateBatch(cand, 0L, res, led)
+    assert(n2 == 0L)
+    val after2 = spark.read.parquet(res).select("feature_id", "ref_id")
+      .collect().map(_.toString).sorted
+    assert(after2.sameElements(after1))
+    // partial-bucket crash: wipe 2 of the committed buckets' LEDGER rows
+    // (results written, ledger append died) — replay recommits exactly them
+    val keys = spark.read.parquet(led).select("unit_key").distinct()
+      .as[String].collect().sorted
+    val crashed = keys.take(2).toSet
+    val survivors = spark.read.parquet(led).filter(!col("unit_key").isin(crashed.toSeq: _*))
+    val led2 = s"$base/ledger2"
+    survivors.write.parquet(led2)
+    val n3 = StreamingOps.commitCandidateBatch(cand, 0L, res, led2)
+    assert(n3 > 0 && n3 < n1, s"recommitted $n3 of $n1")
+    val after3 = spark.read.parquet(res).select("feature_id", "ref_id")
+      .collect().map(_.toString).sorted
+    assert(after3.sameElements(after1), "dynamic overwrite must not duplicate")
+  }
+
+  test("kill mid-stream + resume: final match table identical to uninterrupted run") {
+    val nRoads = 10
+    val refs = graft.operators.ConflationPipeline.references(spark, nRoads).cache()
+    val pages = graft.operators.ConflationPipeline.pages(spark, 80, nRoads).toDF()
+      .select("url", "text")
+    val src = java.nio.file.Files.createTempDirectory("linsrc").toString
+    val base = java.nio.file.Files.createTempDirectory("linstream").toString
+    // three disjoint chunks of the page stream, arriving over time
+    val chunks = (0 until 3).map(i =>
+      pages.filter(pmod(xxhash64(col("url")), lit(3)) === i))
+    def run(tag: String, phases: Seq[Seq[Int]]): Array[String] = {
+      // each phase: stage the newly-arrived chunks, run the query to
+      // exhaustion over the SAME checkpoint, then KILL it — every phase
+      // boundary is a crash point (the replayed-batch crash case is
+      // covered by the commit test above)
+      val (res, led, ckp) = (s"$base/$tag/result", s"$base/$tag/ledger", s"$base/$tag/ckp")
+      val dir = s"$src/$tag"
+      phases.foreach { arrived =>
+        arrived.foreach(c =>
+          chunks(c).repartition(2).write.mode("overwrite").parquet(s"$dir/chunk$c"))
+        val stream = spark.readStream.schema(pages.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$dir/chunk*")
+        val q = StreamingOps.streamingCandidatesToLineage(
+          stream, refs, nRoads, res, led, ckp)
+        try q.processAllAvailable() finally q.stop()
+      }
+      spark.read.parquet(res).select("feature_id", "ref_id").distinct()
+        .collect().map(_.toString).sorted
+    }
+    // interrupted: 3 query lifetimes, chunks trickling in
+    val interrupted = run("kill", Seq(Seq(0), Seq(1), Seq(2)))
+    // uninterrupted: one lifetime, all chunks up front
+    val clean = run("clean", Seq(Seq(0, 1, 2)))
+    assert(interrupted.nonEmpty && interrupted.sameElements(clean))
+  }
+
   test("streaming first-writer-wins dedup emits each url exactly once") {
     // duplicate the pages stream 3× — dedup must still emit each url once
     val pages = graft.operators.ConflationPipeline.pages(spark, 50, 10).toDF()
