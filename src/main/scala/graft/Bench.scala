@@ -36,6 +36,11 @@ object Bench {
 
   /** Run the conflation pipeline once; returns (segments, tiles, seconds). */
   def conflationThroughput(spark: SparkSession, nPages: Long, nRoads: Int): (Long, Long, Double) = {
+    // the 45 queries leave persisted intermediates (minhash signatures,
+    // gram tables) behind; drop SQL caches so the throughput run gets its
+    // full execution memory (SmokeWorld's localCheckpoint blocks survive —
+    // only lazy caches rebuild, and this run doesn't touch them)
+    spark.catalog.clearCache()
     val t0 = System.nanoTime()
     val segs = ConflationPipeline.run(spark, nPages, nRoads)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -216,7 +216,12 @@ object Dedup {
     val overCap = ex.groupBy("__p", "__g").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
       .select("__p", "__g")
+    // pre-partition the kept grams on the join key BEFORE caching: both
+    // sides of the self-join read the cache with its hash partitioning
+    // intact, so the pair join adds NO further shuffle of the gram table
+    // (the r2 window version got this for free via exchange reuse)
     val kept = ex.join(broadcast(overCap), Seq("__p", "__g"), "left_anti")
+      .repartition(col("__p"), col("__g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = kept.groupBy("__id").agg(count(lit(1)).as("__sz"))
     val common = kept.select(col("__id").as("doc_a"), col("__p"), col("__g"))
