@@ -421,9 +421,17 @@ object OsmPbf {
     spark.read.format("binaryFile").load(glob)
       .select(col("content")).as[Array[Byte]]
       .flatMap { bytes =>
-        val bb = java.nio.ByteBuffer.wrap(bytes)
-        val out = Seq.newBuilder[PbfEntity]
-        while (bb.remaining() > 4) {
+        // a corrupt shard is skipped whole (same policy as ShstTiles.scan)
+        try parseFile(bytes)
+        catch { case _: RuntimeException | _: java.util.zip.DataFormatException |
+            _: java.nio.BufferUnderflowException => Vector.empty }
+      }
+  }
+
+  private def parseFile(bytes: Array[Byte]): Vector[PbfEntity] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = Vector.newBuilder[PbfEntity]
+    while (bb.remaining() > 4) {
           val hlen = bb.getInt
           val header = new Array[Byte](hlen); bb.get(header)
           val hr = new ShstTiles.Reader(header, 0, header.length)
@@ -453,8 +461,7 @@ object OsmPbf {
             val block = if (raw != null) raw else inflate(z, rawSize)
             out ++= parseBlock(block)
           }
-        }
-        out.result()
-      }
+    }
+    out.result()
   }
 }

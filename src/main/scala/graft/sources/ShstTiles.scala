@@ -299,7 +299,9 @@ object ShstTiles {
     refs.toDF().select(col("id").as("shstReferenceId"), col("geometryId"))
       .join(g, Seq("geometryId"))
       .join(m, Seq("geometryId"), "left")
-      .withColumn("isForward", col("shstReferenceId") === col("forwardReferenceId"))
+      // <=> not ===: a malformed tile with no forwardReferenceId must yield
+      // false (back side), not a null that NPEs the Boolean encoder field
+      .withColumn("isForward", col("shstReferenceId") <=> col("forwardReferenceId"))
       .select(col("shstReferenceId"), col("geometryId"),
         when(col("isForward"), col("fromIntersectionId"))
           .otherwise(col("toIntersectionId")).as("fromIntersectionId"),

@@ -40,6 +40,9 @@ class OsmPbfSpec extends AnyFunSuite {
     out.write(framedData(OsmPbf.waysBlock(ways)))
     out.write(framedData(OsmPbf.relationsBlock(rels)))
     out.close()
+    // a corrupt shard in the same glob is skipped whole, not fatal
+    Files.write(dir.resolve("corrupt.osm.pbf"),
+      Array[Byte](0, 0, 0, 9, 1, 2, 3, 4, 5, 6, 7, 8, 9, -1))
     val ents = OsmPbf.read(spark, dir.toString + "/*.osm.pbf").collect()
     val n = ents.filter(_.kind == "node").sortBy(_.id)
     assert(n.map(_.id).toSeq == Seq(-5L, 101L, 102L))
