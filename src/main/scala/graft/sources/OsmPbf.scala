@@ -189,7 +189,11 @@ object OsmPbf {
     when(c.rlike("^-?[0-9]+$"), c.cast("long"))
       .when(c.rlike("^synth_[0-9]+$"),
         -(regexp_extract(c, "^synth_([0-9]+)$", 1).cast("long") + 1))
-      .otherwise(-(pmod(xxhash64(c), lit(Long.MaxValue)) + lit(1000000000L)))
+      // modulus leaves headroom for the +1e9 offset: pmod over the full
+      // Long.MaxValue range could land within 1e9 of the top and the add
+      // would overflow to a large POSITIVE id colliding with real node ids
+      // (ADVICE r3)
+      .otherwise(-(pmod(xxhash64(c), lit(Long.MaxValue - 1000000000L)) + lit(1000000000L)))
 
   // ---- Spark sink -----------------------------------------------------------
 
@@ -198,20 +202,38 @@ object OsmPbf {
 
   private def writeShards[T](ds: Dataset[T], path: String)(
       render: Iterator[T] => Iterator[Array[Byte]]): Unit = {
+    // Configuration isn't serializable — ship the session's hadoop overrides
+    // (s3a credentials/endpoints etc.) as plain pairs and rebuild executor-
+    // side, instead of a bare new Configuration() that silently dropped them
+    // (ADVICE r3).
+    val hadoopKVs: Seq[(String, String)] = {
+      val it = ds.sparkSession.sparkContext.hadoopConfiguration.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
     ds.rdd.mapPartitionsWithIndex { (i, it) =>
       if (it.isEmpty) Iterator.empty
       else {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        hadoopKVs.foreach { case (k, v) => conf.set(k, v) }
         val dir = new org.apache.hadoop.fs.Path(path)
-        // executor-side default conf (Configuration isn't serializable);
-        // resolves the same default FS the executor classpath configures
-        val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = dir.getFileSystem(conf)
         fs.mkdirs(dir)
+        // write to an attempt-unique temp file, then rename into place: a
+        // speculative/retried attempt can't interleave writes into the final
+        // part file, and the last rename wins whole (ADVICE r3)
+        val ctx = org.apache.spark.TaskContext.get()
+        val attempt = if (ctx == null) 0L else ctx.taskAttemptId()
         val f = new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.osm.pbf")
-        val out = fs.create(f, true)
+        val tmp = new org.apache.hadoop.fs.Path(dir, f".part-$i%05d.$attempt.tmp")
+        val out = fs.create(tmp, true)
         try {
           out.write(headerBlob())
           render(it).foreach(out.write)
         } finally out.close()
+        if (fs.exists(f)) fs.delete(f, false)
+        fs.rename(tmp, f)
         Iterator.single(f.toString)
       }
     }.count()
@@ -344,65 +366,96 @@ object OsmPbf {
               Nil, tagMap(strings, ks.result(), vs.result()), Nil, Nil, Nil)
           case (2, 2) => // DenseNodes
             val d = g.sub()
-            var ids = Seq.empty[Long]; var lats = Seq.empty[Long]; var lons = Seq.empty[Long]
+            // packed repeated fields may legally arrive as SEVERAL length-
+            // delimited chunks — accumulate with ++= (the raw values here are
+            // un-decoded deltas, so chunk order composes; the delta base is
+            // carried once, below, over the concatenation) (ADVICE r3)
+            val ids = Seq.newBuilder[Long]; val lats = Seq.newBuilder[Long]
+            val lons = Seq.newBuilder[Long]; val kvs = Seq.newBuilder[Long]
             while (d.hasRemaining) {
               val (t2, w2) = d.readTag()
               (t2, w2) match {
-                case (1, _) => ids = parsePacked(d, w2)(s => zz(s.readVarint()))
-                case (8, _) => lats = parsePacked(d, w2)(s => zz(s.readVarint()))
-                case (9, _) => lons = parsePacked(d, w2)(s => zz(s.readVarint()))
+                case (1, _) => ids ++= parsePacked(d, w2)(s => zz(s.readVarint()))
+                case (8, _) => lats ++= parsePacked(d, w2)(s => zz(s.readVarint()))
+                case (9, _) => lons ++= parsePacked(d, w2)(s => zz(s.readVarint()))
+                case (10, _) => kvs ++= parsePacked(d, w2)(_.readVarint())
                 case (_, w) => d.skip(w)
               }
             }
+            val (idsV, latsV, lonsV, kvsV) =
+              (ids.result(), lats.result(), lons.result(), kvs.result())
+            // keys_vals (field 10): per-node runs of stringtable (key, val)
+            // index pairs, each run 0-terminated; empty field ⇒ no node has
+            // tags. Real planet files dense-encode virtually every node, so
+            // dropping this silently lost all node tags (ADVICE r3).
+            var kvPos = 0
+            def nextTags(): Map[String, String] =
+              if (kvsV.isEmpty) Map.empty
+              else {
+                val b = Map.newBuilder[String, String]
+                while (kvPos < kvsV.length && kvsV(kvPos) != 0L) {
+                  val k = kvsV(kvPos).toInt
+                  val v = if (kvPos + 1 < kvsV.length) kvsV(kvPos + 1).toInt else 0
+                  b += (strings(k) -> strings(v))
+                  kvPos += 2
+                }
+                kvPos += 1 // the terminating 0
+                b.result()
+              }
             var (pi, pla, plo) = (0L, 0L, 0L)
-            ids.indices.foreach { i =>
-              pi += ids(i); pla += lats(i); plo += lons(i)
+            idsV.indices.foreach { i =>
+              pi += idsV(i); pla += latsV(i); plo += lonsV(i)
               out += PbfEntity("node", pi, deg(plo, lonOff), deg(pla, latOff),
-                Nil, Map.empty, Nil, Nil, Nil)
+                Nil, nextTags(), Nil, Nil, Nil)
             }
           case (3, 2) => // Way
             val wmsg = g.sub()
             var id = 0L
             val ks = Seq.newBuilder[Long]; val vs = Seq.newBuilder[Long]
-            val refs = Seq.newBuilder[Long]
+            val refDeltas = Seq.newBuilder[Long]
             while (wmsg.hasRemaining) {
               val (t2, w2) = wmsg.readTag()
               (t2, w2) match {
                 case (1, 0) => id = wmsg.readVarint()
                 case (2, _) => ks ++= parsePacked(wmsg, w2)(_.readVarint())
                 case (3, _) => vs ++= parsePacked(wmsg, w2)(_.readVarint())
-                case (8, _) =>
-                  var p = 0L
-                  parsePacked(wmsg, w2)(s => zz(s.readVarint())).foreach { d0 =>
-                    p += d0; refs += p
-                  }
+                // deltas accumulate across chunks; base applied once below
+                // (a per-chunk base reset corrupted refs after chunk 1)
+                case (8, _) => refDeltas ++= parsePacked(wmsg, w2)(s => zz(s.readVarint()))
                 case (_, w) => wmsg.skip(w)
               }
             }
-            out += PbfEntity("way", id, 0, 0, refs.result(),
+            var rp = 0L
+            val refs = refDeltas.result().map { d0 => rp += d0; rp }
+            out += PbfEntity("way", id, 0, 0, refs,
               tagMap(strings, ks.result(), vs.result()), Nil, Nil, Nil)
           case (4, 2) => // Relation
             val rm = g.sub()
             var id = 0L
             val ks = Seq.newBuilder[Long]; val vs = Seq.newBuilder[Long]
-            var roles = Seq.empty[Long]; var mids = Seq.empty[Long]; var mts = Seq.empty[Long]
+            val roles = Seq.newBuilder[Long]; val midDeltas = Seq.newBuilder[Long]
+            val mts = Seq.newBuilder[Long]
             while (rm.hasRemaining) {
               val (t2, w2) = rm.readTag()
               (t2, w2) match {
                 case (1, 0) => id = rm.readVarint()
                 case (2, _) => ks ++= parsePacked(rm, w2)(_.readVarint())
                 case (3, _) => vs ++= parsePacked(rm, w2)(_.readVarint())
-                case (8, _) => roles = parsePacked(rm, w2)(_.readVarint())
-                case (9, _) =>
-                  var p = 0L
-                  mids = parsePacked(rm, w2)(s => zz(s.readVarint())).map { d0 => p += d0; p }
-                case (10, _) => mts = parsePacked(rm, w2)(_.readVarint())
+                case (8, _) => roles ++= parsePacked(rm, w2)(_.readVarint())
+                // raw deltas accumulate across chunks; the running base is
+                // applied ONCE over the concatenation (ADVICE r3 — a per-
+                // chunk base reset corrupted every id after the first chunk)
+                case (9, _) => midDeltas ++= parsePacked(rm, w2)(s => zz(s.readVarint()))
+                case (10, _) => mts ++= parsePacked(rm, w2)(_.readVarint())
                 case (_, w) => rm.skip(w)
               }
             }
+            var mp = 0L
+            val mids = midDeltas.result().map { d0 => mp += d0; mp }
             out += PbfEntity("relation", id, 0, 0, Nil,
               tagMap(strings, ks.result(), vs.result()),
-              roles.map(i => strings(i.toInt)), mids, mts.map(_.toInt))
+              roles.result().map(i => strings(i.toInt)), mids,
+              mts.result().map(_.toInt))
           case (_, w) => g.skip(w)
         }
       }
@@ -428,11 +481,25 @@ object OsmPbf {
       }
   }
 
+  /** Spec caps: BlobHeader ≤ 64 KiB, Blob ≤ 32 MiB (compressed and raw).
+    * Untrusted length fields are checked against BOTH the cap and the bytes
+    * actually remaining BEFORE any allocation: a malformed shard claiming a
+    * ~2 GB length would otherwise OOM the executor (an Error, not caught by
+    * read()'s skip path) instead of being skipped whole (ADVICE r3). */
+  private final val MaxBlobHeader = 64 * 1024
+  private final val MaxBlob = 32 * 1024 * 1024
+
+  private def checkLen(len: Int, cap: Int, avail: Int, what: String): Unit =
+    if (len < 0 || len > cap || len > avail)
+      throw new IllegalArgumentException(
+        s"$what length $len out of bounds (cap $cap, available $avail)")
+
   private def parseFile(bytes: Array[Byte]): Vector[PbfEntity] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val out = Vector.newBuilder[PbfEntity]
     while (bb.remaining() > 4) {
           val hlen = bb.getInt
+          checkLen(hlen, MaxBlobHeader, bb.remaining(), "BlobHeader")
           val header = new Array[Byte](hlen); bb.get(header)
           val hr = new ShstTiles.Reader(header, 0, header.length)
           var btype = ""; var dsize = 0
@@ -444,6 +511,7 @@ object OsmPbf {
               case (_, ww) => hr.skip(ww)
             }
           }
+          checkLen(dsize, MaxBlob, bb.remaining(), "Blob")
           val blob = new Array[Byte](dsize); bb.get(blob)
           if (btype == "OSMData") {
             val br = new ShstTiles.Reader(blob, 0, blob.length)
@@ -458,6 +526,7 @@ object OsmPbf {
                 case (_, ww) => br.skip(ww)
               }
             }
+            if (raw == null) checkLen(rawSize, MaxBlob, MaxBlob, "raw_size")
             val block = if (raw != null) raw else inflate(z, rawSize)
             out ++= parseBlock(block)
           }

@@ -92,6 +92,58 @@ class OsmPbfSpec extends AnyFunSuite {
   private def framedData(block: Array[Byte]): Array[Byte] =
     framedOf("OSMData", blob(block))
 
+  test("dense-node keys_vals decode; packed fields accumulate across chunks") {
+    // hand-assembled PrimitiveBlock the in-repo writer never emits:
+    // stringtable ["", "highway", "crossing"], DenseNodes with per-node
+    // 0-terminated (key,val) runs in field 10, AND every packed field split
+    // into TWO length-delimited chunks (spec-legal re-encoding)
+    def zzE(v: Long): Long = (v << 1) ^ (v >> 63)
+    val st = lenF(1, lenF(1, Array.empty[Byte]) ++
+      lenF(1, "highway".getBytes("UTF-8")) ++ lenF(1, "crossing".getBytes("UTF-8")))
+    val dense =
+      lenF(1, vint(zzE(5L))) ++ lenF(1, vint(zzE(3L))) ++          // ids 5, 8
+      lenF(8, vint(zzE(427000000L)) ++ vint(zzE(1000L))) ++        // lats
+      lenF(9, vint(zzE(-738000000L))) ++ lenF(9, vint(zzE(-500L))) ++ // lons (2 chunks)
+      lenF(10, vint(1) ++ vint(2) ++ vint(0)) ++ lenF(10, vint(0)) // tags: n1 only
+    val group = lenF(2, dense)
+    val wayMsg = varFF(1, 77L) ++
+      lenF(8, vint(zzE(100L)) ++ vint(zzE(1L))) ++ // refs 100, 101...
+      lenF(8, vint(zzE(1L)))                       // ...then 102 (delta carries over)
+    val block = st ++ lenF(2, group ++ lenF(3, wayMsg)) ++ varFF(17, 100L)
+    val dir = Files.createTempDirectory("pbfdense")
+    Files.write(dir.resolve("d.osm.pbf"),
+      framed("OSMHeader") ++ framedData(block))
+    val ents = OsmPbf.read(spark, dir.toString + "/*.osm.pbf").collect()
+    val nodes = ents.filter(_.kind == "node").sortBy(_.id)
+    assert(nodes.map(_.id).toSeq == Seq(5L, 8L))
+    assert(nodes(0).tags == Map("highway" -> "crossing"))
+    assert(nodes(1).tags == Map.empty)
+    assert(math.abs(nodes(0).lat - 42.7) < 1e-9 &&
+      math.abs(nodes(0).lon - (-73.8)) < 1e-9)
+    assert(math.abs(nodes(1).lat - 42.7001) < 1e-9 &&
+      math.abs(nodes(1).lon - (-73.80005)) < 1e-9)
+    val way = ents.find(_.kind == "way").get
+    assert(way.id == 77L && way.refs == Seq(100L, 101L, 102L))
+  }
+
+  test("malformed shard claiming a ~2GB length is skipped, not an executor OOM") {
+    val dir = Files.createTempDirectory("pbfbad")
+    // hlen = 0x7ffffff0: allocation without the bounds check would OOM
+    Files.write(dir.resolve("huge-header.osm.pbf"),
+      java.nio.ByteBuffer.allocate(16).putInt(0x7ffffff0)
+        .put(Array.fill[Byte](12)(1)).array())
+    // valid header, then a Blob claiming 2GB datasize
+    val h = lenF(1, "OSMData".getBytes("UTF-8")) ++ varFF(3, 0x7ffffff0L)
+    Files.write(dir.resolve("huge-blob.osm.pbf"),
+      java.nio.ByteBuffer.allocate(4 + h.length + 8).putInt(h.length).put(h)
+        .put(Array.fill[Byte](8)(2)).array())
+    // a good shard in the same glob still parses
+    Files.write(dir.resolve("good.osm.pbf"), framed("OSMHeader") ++
+      framedData(OsmPbf.nodesBlock(Seq(OsmPbf.PbfNode(1L, -73.8, 42.7)))))
+    val ents = OsmPbf.read(spark, dir.toString + "/*.osm.pbf").collect()
+    assert(ents.map(_.id).toSeq == Seq(1L))
+  }
+
   test("writeDocument: sharded pbf export round-trips with referential closure") {
     val reanchored = graft.operators.Restrictions.reanchor(
       ConflationPipeline.restrictions(spark, 20), segments)
