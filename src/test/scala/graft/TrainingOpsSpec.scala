@@ -295,6 +295,77 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(n4 == 11L)
   }
 
+  test("hot buckets: 10k identical docs collapse before banding (no k-squared)") {
+    // the Common-Crawl failure mode VERDICT r3 #1: a boilerplate page
+    // duplicated 10⁴ times shares EVERY band — without the exact-dup
+    // collapse the band self-join materializes ~10⁸ candidate rows
+    val k = 10000
+    val boiler = (0 until k).map(i => (i.toLong, "identical boilerplate page body " * 6))
+    val distinctDocs = Seq(
+      (900001L, "a genuinely different document about rivers and bridges in the north"),
+      (900002L, "a genuinely different document about rivers and bridges in the north country"),
+      (900003L, "unrelated text concerning matrix factorization on accelerators"))
+    val corpus = spark.createDataset(boiler ++ distinctDocs).toDF("doc_id", "text")
+      .repartition(8)
+    val (repPairs, members) = Dedup.minhashLshPairsCollapsed(corpus, "doc_id", "text")
+    // the kernel sees 4 distinct texts: candidate/verify work is O(distinct²),
+    // independent of k
+    assert(members.count() == k + 3)
+    assert(members.select("__rid").distinct().count() == 4)
+    val reps = repPairs.collect()
+    // the two river docs are near-dups of each other; boilerplate pairs with
+    // nothing at the rep level
+    assert(reps.length >= 1 && reps.length <= 3, reps.mkString(","))
+    // expansion on a SMALL group is exactly brute force: 60 identical docs
+    // → C(60,2) within-pairs at j=1 plus the near-dup cross pairs
+    val small = spark.createDataset((0 until 60).map(i =>
+      (i.toLong, "same text body for the whole group")) ++ distinctDocs)
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLshPairs(small, "doc_id", "text").cache()
+    assert(out.filter(col("j") === 1.0).count() == 60L * 59 / 2)
+    assert(out.filter(col("id_a") === 900001L && col("id_b") === 900002L).count() == 1)
+    // canonical order survives expansion
+    assert(out.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
+  test("hot buckets: occupancy cap drops over-cap buckets instead of exploding") {
+    // 40 DISTINCT near-identical texts (distinct suffix) — they share most
+    // bands, so with cap=5 the shared buckets exceed occupancy and drop;
+    // the run must complete and emit a SUBSET of the uncapped pairs
+    val base = "shared boilerplate prefix that dominates every shingle set " * 8
+    val docsN = spark.createDataset((0 until 40).map(i => (i.toLong, base + s" tail$i")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(docsN, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashLshPairs(docsN, "doc_id", "text", maxBucket = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.nonEmpty)
+    assert(capped.subsetOf(uncapped))
+    assert(capped.size < uncapped.size) // the cap really engaged (and logged)
+  }
+
+  test("hot buckets: simhash distinct-value collapse bounds the band join") {
+    // 3000 identical docs → ONE distinct simhash enters banding; the
+    // expansion emits exactly C(3000,2)… too big to collect, so count only
+    val k = 300
+    val corpus = spark.createDataset((0 until k).map(i =>
+      (i.toLong, "endlessly repeated boilerplate words here")) ++ Seq(
+      (800001L, "some other page about glaciers and moraines"),
+      (800002L, "some other page about glaciers and moraines today")))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3).cache()
+    assert(out.filter(col("hamming") === 0).count() >= k.toLong * (k - 1) / 2)
+    assert(out.filter(col("id_a") >= col("id_b")).count() == 0)
+    // agreement with brute force over the simhash table (completeness intact)
+    val t = Dedup.simhashTable(corpus, "doc_id", "text")
+    val brute = t.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
+      .join(t.select(col("doc_id").as("id_b"), col("simhash").as("hb")),
+        col("id_a") < col("id_b"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.select("id_a", "id_b").as[(Long, Long)].collect().toSet == brute)
+  }
+
   test("deterministic: rerunning minhash yields identical pairs") {
     val p1 = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .select("id_a", "id_b", "j").collect().map(_.toString).sorted
