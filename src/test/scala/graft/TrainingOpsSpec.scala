@@ -295,6 +295,40 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(n4 == 11L)
   }
 
+  test("multimodal: ImageIoCodec really decodes rendered PNG/BMP bytes") {
+    import java.awt.image.BufferedImage
+    def render(w: Int, h: Int, fmt: String, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, render(37, 21, "png", 0xff0000)),  // pure red
+      (2L, render(8, 64, "bmp", 0x0000ff)),   // pure blue
+      (3L, "definitely not an image".getBytes("UTF-8")))
+    val media = spark.createDataset(rows).toDF("media_id", "media")
+    val decoded = Multimodal.decodeAndExtract(media,
+      () => new Multimodal.ImageIoCodec()).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val png = decoded(1L)
+    assert(png.getInt(1) == 37 && png.getInt(2) == 21)        // real width/height
+    assert(png.getString(5) == "png" && png.getInt(3) == 3)   // format, RGB channels
+    val pngFeat = png.getSeq[Float](6)
+    assert(pngFeat(0) > 0.99f && pngFeat(1) < 0.01f)          // red-channel mean
+    val bmp = decoded(2L)
+    assert(bmp.getInt(1) == 8 && bmp.getInt(2) == 64 && bmp.getString(5) == "bmp")
+    assert(bmp.getSeq[Float](6)(2) > 0.99f)                   // blue-channel mean
+    val bad = decoded(3L)
+    assert(bad.getString(5) == "undecodable" && bad.getInt(1) == 0)
+    // resize plan math applies to the REAL dimensions
+    val resized = Multimodal.resizePlan(Multimodal.decodeAndExtract(media,
+      () => new Multimodal.ImageIoCodec()), maxSide = 16)
+      .filter(col("media_id") === 2L).select("out_width", "out_height").collect().head
+    assert(resized.getInt(0) == 2 && resized.getInt(1) == 16)
+  }
+
   test("hot buckets: 10k identical docs collapse before banding (no k-squared)") {
     // the Common-Crawl failure mode VERDICT r3 #1: a boilerplate page
     // duplicated 10⁴ times shares EVERY band — without the exact-dup
