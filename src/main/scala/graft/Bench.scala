@@ -80,6 +80,10 @@ object Bench {
         SmokeWorld(spark)
         SmokeWorld.writeNdjsonFixture(spark, force = true)
         SparkEntry.queries("q45_ndjson_ingest")(spark, sfDir).count()
+        // one-time tileset render + conversion (ledger-resumed afterwards):
+        // the measured q51 times the tile-read + conflate path, not fixture
+        // construction
+        SparkEntry.queries("q51_tile_conflation")(spark, sfDir).count()
       } catch { case e: Throwable => System.err.println(s"[bench] warm-up: $e") }
       (System.nanoTime() - t0) / 1e9
     }

@@ -352,7 +352,18 @@ object SparkEntry {
     // QA bearing-delta gate over the enriched matches (45° threshold,
     // axis-folded for bidirectional matches)
     "q50_qa_bearing" -> ((s, _) =>
-      ConflationPipeline.qaBearing(SmokeWorld(s).matches))
+      ConflationPipeline.qaBearing(SmokeWorld(s).matches)),
+
+    // S2 end-to-end through the REAL tile path: the smoke network rendered
+    // as wire-format tile files, reread through the protobuf tile scans +
+    // convertTileset + referencesFromTiles, then conflated — graded against
+    // the SAME relational recomputation as q40 over the synth-path aux
+    // tables, so any wire reader/converter corruption flips the hash
+    "q51_tile_conflation" -> ((s, _) =>
+      ConflationPipeline.conflate(SmokeWorld.tileRefs(s), SmokeWorld(s).matches)
+        .toDF()
+        .select("shstReferenceId", "segmentIndex", "totalSegments",
+          "startDist", "endDist", "networklevel"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -791,6 +802,24 @@ object SparkEntry {
         | FROM g JOIN n ON g.doc_id = n.doc_id)
         |SELECT doc_id, count(DISTINCT sel) AS n_fp, bit_xor(DISTINCT sel) AS fp_xor
         |FROM s WHERE pos <= greatest(n - 4, 0) GROUP BY 1""".stripMargin,
+
+    // identical recomputation to q40: the tile-path refs must conflate to
+    // the same segments the synth-path refs did
+    "q51_tile_conflation" ->
+      """SELECT s."shstReferenceId" AS "shstReferenceId",
+        | row_number() OVER (PARTITION BY s."shstReferenceId" ORDER BY s."startDist")
+        |   AS "segmentIndex",
+        | count(*) OVER (PARTITION BY s."shstReferenceId") AS "totalSegments",
+        | s."startDist" AS "startDist", s."endDist" AS "endDist",
+        | (CAST(CASE r."roadClass" WHEN 'Motorway' THEN 0 WHEN 'Trunk' THEN 1
+        |    WHEN 'Primary' THEN 2 WHEN 'Secondary' THEN 3 WHEN 'Tertiary' THEN 4
+        |    WHEN 'Residential' THEN 5 WHEN 'Unclassified' THEN 6 WHEN 'Service' THEN 7
+        |    ELSE 8 END AS DOUBLE)
+        |  + CASE WHEN r."oneWay" THEN CAST(0.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+        |   AS networklevel
+        |FROM read_parquet('__AUX__/aux_segments/*.parquet') s
+        |JOIN read_parquet('__AUX__/aux_refs/*.parquet') r
+        |  ON s."shstReferenceId" = r."shstReferenceId"""".stripMargin,
 
     "q50_qa_bearing" ->
       """WITH d AS (

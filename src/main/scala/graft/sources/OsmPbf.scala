@@ -62,6 +62,15 @@ object OsmPbf {
     def packed(field: Int)(fill: Writer => Unit): this.type = {
       val w = new Writer; fill(w); lenField(field, w.bytes)
     }
+    /** Raw little-endian 64-bit double (for packed double fields). */
+    def rawDoubleLE(v: Double): this.type = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0
+      while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+      this
+    }
+    /** `field` as wire-type-1 (fixed64) double. */
+    def doubleField(field: Int, v: Double): this.type = { tag(field, 1); rawDoubleLE(v) }
   }
 
   private def zlib(data: Array[Byte]): Array[Byte] = {

@@ -312,10 +312,178 @@ object ShstTiles {
         col("backReferenceId").isNull.as("oneWay"),
         when(col("isForward"), col("coordinates"))
           .otherwise(reverse(col("coordinates"))).as("coordinates"),
-        coalesce(col("waySections"), array().cast(
-          "array<struct<wayId:string,nodeIds:array<string>,roadClass:string," +
-            "oneWay:boolean,roundabout:boolean,link:boolean,name:string>>"))
-          .as("waySections"))
+        {
+          // back references traverse the OSM metadata in reverse too:
+          // section order AND each section's node order flip, exactly like
+          // the coordinates (the iterator's back-side expansion,
+          // ShStReferenceFeatureIterator.js:64-144)
+          val ws = coalesce(col("waySections"), array().cast(
+            "array<struct<wayId:string,nodeIds:array<string>,roadClass:string," +
+              "oneWay:boolean,roundabout:boolean,link:boolean,name:string>>"))
+          when(col("isForward"), ws)
+            .otherwise(reverse(transform(ws, s => struct(
+              s.getField("wayId").as("wayId"),
+              reverse(s.getField("nodeIds")).as("nodeIds"),
+              s.getField("roadClass").as("roadClass"),
+              s.getField("oneWay").as("oneWay"),
+              s.getField("roundabout").as("roundabout"),
+              s.getField("link").as("link"),
+              s.getField("name").as("name")))))
+            .as("waySections")
+        })
       .as[ShstReference]
+  }
+
+  // ---- tileset encoder ------------------------------------------------------
+
+  private def roadClassCode(name: String): Int = {
+    val i = RoadClasses.indexOf(name)
+    if (i >= 0) i else RoadClasses.length - 1
+  }
+
+  private[sources] def encGeometry(id: String, from: String, to: String,
+      fwdId: String, backId: Option[String], rcCode: Int,
+      coords: Seq[Seq[Double]]): Array[Byte] = {
+    val w = new OsmPbf.Writer
+    w.strField(1, id).strField(2, from).strField(3, to).strField(4, fwdId)
+    backId.foreach(w.strField(5, _))
+    w.varField(6, rcCode.toLong)
+    w.packed(7)(pw => coords.foreach(c => { pw.rawDoubleLE(c(0)); pw.rawDoubleLE(c(1)) }))
+    w.bytes
+  }
+
+  private[sources] def encReference(id: String, gid: String, fow: Int,
+      lrs: Seq[LocationRef]): Array[Byte] = {
+    val w = new OsmPbf.Writer
+    w.strField(1, id).strField(2, gid).varField(3, fow.toLong)
+    lrs.foreach { l =>
+      val lw = new OsmPbf.Writer
+      lw.strField(1, l.intersectionId).doubleField(2, l.lon).doubleField(3, l.lat)
+      l.inboundBearing.foreach(v => lw.varField(4, v.toLong))
+      l.outboundBearing.foreach(v => lw.varField(5, v.toLong))
+      l.distanceToNextRef.foreach(v => lw.varField(6, v.toLong))
+      w.lenField(4, lw.bytes)
+    }
+    w.bytes
+  }
+
+  private[sources] def encMetadata(gid: String, sections: Seq[WaySection],
+      wayIdEnc: String => Long, nodeIdEnc: String => Long): Array[Byte] = {
+    val osm = new OsmPbf.Writer
+    sections.foreach { ws =>
+      val sw = new OsmPbf.Writer
+      sw.varField(1, wayIdEnc(ws.wayId)).varField(2, roadClassCode(ws.roadClass).toLong)
+      sw.varField(3, if (ws.oneWay) 1L else 0L)
+      sw.varField(4, if (ws.roundabout) 1L else 0L)
+      sw.varField(5, if (ws.link) 1L else 0L)
+      sw.packed(6)(pw => ws.nodeIds.foreach(n => pw.varint(nodeIdEnc(n))))
+      sw.strField(7, ws.name)
+      osm.lenField(1, sw.bytes)
+    }
+    val w = new OsmPbf.Writer
+    w.strField(1, gid).lenField(2, osm.bytes)
+    w.bytes
+  }
+
+  /** Equirectangular tile id (the repo's q16 tiling math) for file naming. */
+  def tileIdFor(lon: Double, lat: Double, zoom: Int): String = {
+    val n = 1L << zoom
+    val x = math.min(math.max(math.floor((lon + 180.0) / 360.0 * n), 0), (n - 1).toDouble).toLong
+    val y = math.min(math.max(math.floor((90.0 - lat) / 180.0 * n), 0), (n - 1).toDouble).toLong
+    s"$zoom-$x-$y"
+  }
+
+  /**
+   * Inverse of the tile scans: render a directed-reference network as a REAL
+   * wire-format tileset (`<z>-<x>-<y>.{geometry,reference,metadata}.<level>
+   * .pbf`, varint-delimited messages) — the fixture generator that lets the
+   * driver gate exercise the tile READER end-to-end (q51), and an export
+   * path for interchange with sharedstreets tooling. Work is partition-
+   * parallel: geometries group by id, land whole in the partition owning
+   * their (tile, kind), and files commit via attempt-unique temp + rename.
+   * PBF way/node ids are int64, so non-numeric ids need an injective
+   * `wayIdEnc`/`nodeIdEnc` (the caller owns the inverse mapping).
+   */
+  def writeTileset(refs: Dataset[ShstReference], dir: String, zoom: Int = 12,
+      level: Int = 8,
+      wayIdEnc: String => Long = _.toLong,
+      nodeIdEnc: String => Long = _.toLong): Long = {
+    val spark = refs.sparkSession
+    import spark.implicits._
+    val hadoopKVs: Seq[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    val msgs = refs.groupByKey(_.geometryId).flatMapGroups { (gid, it) =>
+      val rs = it.toSeq.sortBy(r => (!r.isForward, r.shstReferenceId))
+      val fwd = rs.find(_.isForward).getOrElse(rs.head)
+      val back = rs.find(!_.isForward)
+      val coords = fwd.coordinates
+      val tid = tileIdFor(coords.head.head, coords.head(1), zoom)
+      val rc = roadClassCode(fwd.roadClass)
+      val fow = if (rc == 0) 1 else 3 // Motorway | SingleCarriageway
+      def lrs(r: ShstReference): Seq[LocationRef] = {
+        val c0 = r.coordinates.head; val c1 = r.coordinates.last
+        Seq(LocationRef(r.fromIntersectionId, c0.head, c0(1), None, Some(45), Some(100)),
+          LocationRef(r.toIntersectionId, c1.head, c1(1), Some(44), None, None))
+      }
+      val refMsgs = rs.map(r => (tid, "reference", r.shstReferenceId,
+        encReference(r.shstReferenceId, gid, fow, lrs(r))))
+      Seq(
+        (tid, "geometry", gid, encGeometry(gid, fwd.fromIntersectionId,
+          fwd.toIntersectionId, fwd.shstReferenceId,
+          back.map(_.shstReferenceId), rc, coords)),
+        (tid, "metadata", gid, encMetadata(gid, fwd.waySections,
+          wayIdEnc, nodeIdEnc))) ++ refMsgs
+    }.toDF("tile_id", "kind", "sort_key", "bytes")
+    // a (tile, kind) group lands whole in one partition; the sort makes each
+    // file's bytes deterministic across reruns and parallelism levels
+    msgs.repartition(col("tile_id"), col("kind"))
+      .sortWithinPartitions("tile_id", "kind", "sort_key")
+      .as[(String, String, String, Array[Byte])]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          hadoopKVs.foreach { case (k, v) => conf.set(k, v) }
+          val dirPath = new org.apache.hadoop.fs.Path(dir)
+          val fs = dirPath.getFileSystem(conf)
+          fs.mkdirs(dirPath)
+          val ctx = org.apache.spark.TaskContext.get()
+          val attempt = if (ctx == null) 0L else ctx.taskAttemptId()
+          var cur: (String, String) = null
+          var out: org.apache.hadoop.fs.FSDataOutputStream = null
+          var tmp: org.apache.hadoop.fs.Path = null
+          var fin: org.apache.hadoop.fs.Path = null
+          val files = Seq.newBuilder[String]
+          def closeFile(): Unit = if (out != null) {
+            out.close()
+            if (fs.exists(fin)) fs.delete(fin, false)
+            fs.rename(tmp, fin)
+            files += fin.toString
+            out = null
+          }
+          it.foreach { case (tid, kind, _, bytes) =>
+            if (cur != ((tid, kind))) {
+              closeFile()
+              cur = (tid, kind)
+              fin = new org.apache.hadoop.fs.Path(dirPath, s"$tid.$kind.$level.pbf")
+              tmp = new org.apache.hadoop.fs.Path(dirPath, s".$tid.$kind.$level.$attempt.tmp")
+              out = fs.create(tmp, true)
+            }
+            var x = bytes.length.toLong // varint length framing
+            var done = false
+            while (!done) {
+              val c = (x & 0x7f).toInt; x = x >>> 7
+              out.write(if (x != 0) c | 0x80 else c); done = x == 0
+            }
+            out.write(bytes)
+          }
+          closeFile()
+          files.result().iterator
+        }
+      }.count()
   }
 }

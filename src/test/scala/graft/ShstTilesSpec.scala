@@ -157,6 +157,38 @@ class ShstTilesSpec extends AnyFunSuite {
     assert(f1.roadClass == "Primary" && out("fwd2").roadClass == "Residential")
   }
 
+  test("referencesFromTiles: back reference reverses metadata section+node order") {
+    val out = ShstTiles.referencesFromTiles(
+      ShstTiles.geometryTiles(spark, tilesDir),
+      ShstTiles.referenceTiles(spark, tilesDir),
+      ShstTiles.metadataTiles(spark, tilesDir))
+      .collect().map(r => r.shstReferenceId -> r).toMap
+    val b1 = out("back1")
+    assert(b1.waySections.map(_.wayId) == Seq("9002", "9001"))
+    assert(b1.waySections.map(_.nodeIds) == Seq(Seq("103", "102"), Seq("102", "101")))
+  }
+
+  test("writeTileset → wire scans → referencesFromTiles equals the source network") {
+    // the q51 loop: synth network → REAL tile files → the wire READER →
+    // converter → directed expansion → synth-id decode; every field of every
+    // reference must round-trip exactly (coordinates are fixed64 doubles on
+    // the wire, so bit-exact)
+    val synth = graft.operators.ConflationPipeline
+      .references(spark, SmokeWorld.NRoads).collect().toSet
+    val viaTiles = SmokeWorld.tileRefs(spark).collect().toSet
+    assert(viaTiles.size == synth.size)
+    val missing = synth -- viaTiles
+    val extra = viaTiles -- synth
+    assert(missing.isEmpty && extra.isEmpty,
+      s"missing=${missing.take(2)} extra=${extra.take(2)}")
+    // and the tileset on disk really is multi-file wire format
+    val tiles = new java.io.File(s"${SmokeWorld.auxDir}/aux_shst_tiles")
+      .listFiles().map(_.getName).filter(_.endsWith(".pbf"))
+    assert(tiles.count(_.contains(".geometry.")) >= 1)
+    assert(tiles.count(_.contains(".reference.")) >= 1)
+    assert(tiles.count(_.contains(".metadata.")) >= 1)
+  }
+
   test("convertTileset: parquet out + tile-id lineage ledger resumes exactly") {
     val out = Files.createTempDirectory("shstout").toString
     val first = ShstTiles.convertTileset(spark, tilesDir, out, "run1")
