@@ -20,9 +20,13 @@ object StreamingOps {
     events
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen).getField("start").cast("long").as("hour_start"),
-        col("event_type"))
+      // group by the window STRUCT (not a cast of it): append-mode watermark
+      // propagation requires the grouping key to be the watermarked window
+      // column itself; hour_start projects out afterwards
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .select(col("window.start").cast("long").as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
 
   /**
    * Stream-static spatial candidate join — the continuous-ingest shape of

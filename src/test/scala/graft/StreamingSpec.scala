@@ -139,6 +139,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(interrupted.nonEmpty && interrupted.sameElements(clean))
   }
 
+  test("watermark: late events inside kept, outside dropped, vs the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.parse(s))
+    def hs(s: String): Long = java.time.Instant.parse(s).getEpochSecond
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamingOps.windowedEventCounts(
+      input.toDF().toDF("ts", "event_type", "value")) // 1h windows, 2h watermark
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("lateout").start()
+    try {
+      // batch 1: in-order, advances the watermark to 13:30 − 2h = 11:30
+      input.addData((ts("2026-01-01T10:00:00Z"), "a", 1.0),
+        (ts("2026-01-01T10:30:00Z"), "a", 2.0),
+        (ts("2026-01-01T13:30:00Z"), "a", 3.0))
+      q.processAllAvailable()
+      // batch 2: two LATE arrivals — 10:45 lands in a window already closed
+      // by the watermark (end 11:00 ≤ 11:30) and must be DROPPED; 12:15 is
+      // out-of-order but inside the watermark and must be KEPT
+      input.addData((ts("2026-01-01T10:45:00Z"), "a", 100.0),
+        (ts("2026-01-01T12:15:00Z"), "a", 4.0))
+      q.processAllAvailable()
+      // batch 3: watermark → 14:00, closing the 12:00 and 13:00 windows;
+      // the 16:00 window closes after the final 23:00 event (wm 21:00)
+      input.addData((ts("2026-01-01T16:00:00Z"), "a", 5.0))
+      q.processAllAvailable()
+      input.addData((ts("2026-01-01T23:00:00Z"), "a", 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("lateout")
+      .select("hour_start", "event_type", "n", "total_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val expected = Set(
+      (hs("2026-01-01T10:00:00Z"), "a", 2L, 3.0), // late 10:45 NOT counted
+      (hs("2026-01-01T12:00:00Z"), "a", 1L, 4.0), // late-but-inside kept
+      (hs("2026-01-01T13:00:00Z"), "a", 1L, 3.0),
+      (hs("2026-01-01T16:00:00Z"), "a", 1L, 5.0))
+    assert(streamed == expected, s"streamed=$streamed")
+    // 23:00's window is still open at the final watermark — nothing emitted
+    assert(!streamed.exists(_._1 == hs("2026-01-01T23:00:00Z")))
+    // batch twin over the KEPT events, restricted to closed windows,
+    // matches exactly
+    val keptEvents = spark.createDataset(Seq(
+      (ts("2026-01-01T10:00:00Z"), "a", 1.0), (ts("2026-01-01T10:30:00Z"), "a", 2.0),
+      (ts("2026-01-01T13:30:00Z"), "a", 3.0), (ts("2026-01-01T12:15:00Z"), "a", 4.0),
+      (ts("2026-01-01T16:00:00Z"), "a", 5.0)))
+      .toDF("ts", "event_type", "value")
+    val twin = StreamingOps.windowedEventCounts(keptEvents)
+      .filter(col("hour_start") + 3600 <= hs("2026-01-01T21:00:00Z"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(twin == streamed)
+  }
+
   test("streaming first-writer-wins dedup emits each url exactly once") {
     // duplicate the pages stream 3× — dedup must still emit each url once
     val pages = graft.operators.ConflationPipeline.pages(spark, 50, 10).toDF()
