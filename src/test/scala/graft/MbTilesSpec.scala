@@ -1,0 +1,93 @@
+package graft
+
+import graft.sources.{MbTiles, Sqlite}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Clean-room SQLite/MBTiles container: writer↔reader round-trips covering
+  * single-leaf, overflow-chain, and multi-level b-tree shapes. A sample file
+  * also lands at target/mbtiles_sample.mbtiles for out-of-band validation
+  * with the system sqlite3 module (tools/check_mbtiles.py). */
+class MbTilesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpFile(name: String): String =
+    Files.createTempDirectory("mbtiles").resolve(name).toString
+
+  test("small mbtiles round-trips metadata, tiles, and the TMS row flip") {
+    val path = tmpFile("small.mbtiles")
+    val tiles = Seq(
+      (12, 1205L, 1539L, "tile-a".getBytes("UTF-8")),
+      (12, 1205L, 1540L, "tile-b".getBytes("UTF-8")),
+      (13, 2410L, 3078L, "tile-c".getBytes("UTF-8")))
+    MbTiles.write(path, Seq("name" -> "t", "format" -> "json"), tiles)
+    val (meta, back) = MbTiles.read(path)
+    assert(meta == Map("name" -> "t", "format" -> "json"))
+    assert(back.map(t => (t._1, t._2, t._3)).toSet ==
+      tiles.map(t => (t._1, t._2, t._3)).toSet)
+    assert(back.find(_._3 == 1539L).get._4.sameElements("tile-a".getBytes("UTF-8")))
+    // TMS on disk: the stored tile_row is flipped
+    val r = new Sqlite.Reader(Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val stored = r.tableByName("tiles").map(row =>
+      (row(0).asInstanceOf[Sqlite.VInt].v, row(2).asInstanceOf[Sqlite.VInt].v))
+    assert(stored.contains((12L, (1L << 12) - 1 - 1539L)))
+  }
+
+  test("a tile blob larger than the page size round-trips via overflow chains") {
+    val path = "target/mbtiles_overflow.mbtiles" // fixed: sqlite3 check too
+    val big = Array.tabulate[Byte](20000)(i => (i * 31).toByte)
+    MbTiles.write(path, Seq("name" -> "big"), Seq((5, 3L, 4L, big)))
+    val (_, back) = MbTiles.read(path)
+    assert(back.size == 1 && back.head._4.sameElements(big))
+  }
+
+  test("3000 tiles force multi-level table and index b-trees that round-trip") {
+    val path = "target/mbtiles_multi.mbtiles" // fixed: sqlite3 check too
+    val tiles = (0 until 3000).map { i =>
+      (12, (i % 60).toLong, (i / 60).toLong,
+        s"payload-$i-${"x" * (i % 40)}".getBytes("UTF-8"))
+    }
+    MbTiles.write(path, Seq("name" -> "multi"), tiles)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val r = new Sqlite.Reader(bytes)
+    // the tiles table really is multi-level (root is an interior page)
+    val root = r.schema.find(s => s._1 == "table" && s._2 == "tiles").get._4
+    assert(bytes((root - 1) * r.pageSize) == 0x05.toByte, "expected interior root")
+    val (_, back) = MbTiles.read(path)
+    assert(back.size == 3000)
+    val byKey = back.map(t => (t._1, t._2, t._3) -> new String(t._4, "UTF-8")).toMap
+    assert(byKey((12, 7L, 11L)) == s"payload-${11 * 60 + 7}-${"x" * ((11 * 60 + 7) % 40)}")
+    // the unique index holds every key exactly once, in sorted order
+    val idxRoot = r.schema.find(s => s._1 == "index" && s._2 == "tile_index").get._4
+    val keys = r.indexKeys(idxRoot).map(k =>
+      (k(0).asInstanceOf[Sqlite.VInt].v, k(1).asInstanceOf[Sqlite.VInt].v,
+        k(2).asInstanceOf[Sqlite.VInt].v))
+    assert(keys.size == 3000 && keys.distinct.size == 3000)
+    assert(keys == keys.sorted)
+  }
+
+  test("writeFromTiles exports the q41 tile table; payload gunzips to the stats") {
+    val segs = graft.operators.ConflationPipeline.run(spark, 200, 20)
+    val tilesDf = graft.operators.ConflationPipeline.tiles(segs, zoom = 12).cache()
+    val expected = tilesDf.count()
+    val path = "target/mbtiles_sample.mbtiles" // fixed: out-of-band sqlite3 check
+    val n = MbTiles.writeFromTiles(tilesDf, path)
+    assert(n == expected && n > 0)
+    val (meta, back) = MbTiles.read(path)
+    assert(meta("format") == "json" && back.size == expected)
+    // gunzip one payload and check it carries that tile's stats
+    val first = tilesDf.orderBy("zoom", "tile_x", "tile_y").collect().head
+    val payload = back.find(t =>
+      t._2 == first.getAs[Long]("tile_x") && t._3 == first.getAs[Long]("tile_y")).get._4
+    val gz = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(payload))
+    val json = new String(gz.readAllBytes(), "UTF-8")
+    assert(json.contains(s""""n_segments":${first.getAs[Long]("n_segments")}"""))
+  }
+}
