@@ -363,7 +363,28 @@ object SparkEntry {
       ConflationPipeline.conflate(SmokeWorld.tileRefs(s), SmokeWorld(s).matches)
         .toDF()
         .select("shstReferenceId", "segmentIndex", "totalSegments",
-          "startDist", "endDist", "networklevel"))
+          "startDist", "endDist", "networklevel")),
+
+    // S9b/MVT: the tippecanoe-analog vector-tile render, graded THROUGH the
+    // encoder — each tile's gzipped MVT blob is decoded back and its density
+    // layer's aggregates must equal the independent DuckDB recomputation of
+    // q41 over the synth-path aux tables
+    "q52_mvt_density" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.Mvt.renderTiles(SmokeWorld(s).segments, zoom = 12)
+        .select(col("tile_x"), col("tile_y"), col("tile_data"))
+        .as[(Long, Long, Array[Byte])]
+        .map { case (tx, ty, blob) =>
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(blob))
+          val density = graft.sources.Mvt.decode(gz.readAllBytes())
+            .find(_.name == "density").get.features.head.tags
+          (tx, ty, density("n_segments").asInstanceOf[Long],
+            math.rint(density("total_km").asInstanceOf[Double] * 1e6) / 1e6,
+            density("match_density").asInstanceOf[Long], 12)
+        }
+        .toDF("tile_x", "tile_y", "n_segments", "total_km", "match_density", "zoom")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -802,6 +823,21 @@ object SparkEntry {
         | FROM g JOIN n ON g.doc_id = n.doc_id)
         |SELECT doc_id, count(DISTINCT sel) AS n_fp, bit_xor(DISTINCT sel) AS fp_xor
         |FROM s WHERE pos <= greatest(n - 4, 0) GROUP BY 1""".stripMargin,
+
+    // identical recomputation to q41: the MVT density layer must carry the
+    // same aggregates DuckDB derives from the raw segment projections
+    "q52_mvt_density" ->
+      """SELECT tile_x, tile_y, count(*) AS n_segments,
+        | round(sum(len_km), 6) AS total_km,
+        | CAST(sum(n_tm) AS BIGINT) AS match_density, 12 AS zoom
+        |FROM (
+        | SELECT CAST(least(greatest(floor((first_lon + 180.0)/360.0*4096), 0), 4095) AS BIGINT) AS tile_x,
+        |  CAST(least(greatest(floor((90.0 - first_lat)/180.0*4096), 0), 4095) AS BIGINT) AS tile_y,
+        |  ("endDist" - "startDist") AS len_km, n_tm
+        | FROM read_parquet('__AUX__/aux_segments/*.parquet')
+        | WHERE 12 >= (CASE WHEN networklevel <= 1 THEN 3 WHEN networklevel <= 2 THEN 10
+        |   WHEN networklevel <= 3 THEN 12 ELSE 13 END))
+        |GROUP BY 1, 2""".stripMargin,
 
     // identical recomputation to q40: the tile-path refs must conflate to
     // the same segments the synth-path refs did

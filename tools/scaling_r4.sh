@@ -1,0 +1,53 @@
+#!/bin/bash
+# Round-4 north-rule scaling evidence AT THE STRETCH SCALE: the identical
+# conflation job on 25.6M pages / 1.024M roads at local[2] (N), local[8]
+# (4N), and local[32] (16N), each level in a fresh JVM, machine otherwise
+# idle, gated on the VM health probe (BENCH.md item 14: the host's memory
+# path transiently degrades 2-5x; probing avoids certifying a noisy window).
+set -e
+cd "$(dirname "$0")/.."
+PAGES=${1:-25600000}
+ROADS=${2:-1024000}
+OUT=${3:-SCALING_r4.json}
+mkdir -p /dev/shm/spark-local
+export SPARK_GRAFT_AQE=false
+export SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-local
+
+probe() {
+  sbt -batch "runMain graft.ScalingBench 32 400000 16000" 2>/dev/null \
+    | grep -oE '\{"cpus".*\}' | tail -1 \
+    | python3 -c "import json,sys; print(json.load(sys.stdin)['sec'])"
+}
+
+for attempt in $(seq 1 20); do
+  P=$(probe)
+  echo "[scaling_r4] probe attempt $attempt: ${P}s" >&2
+  if python3 -c "import sys; sys.exit(0 if float('$P') < 17.0 else 1)"; then
+    break
+  fi
+  sleep 120
+done
+echo "[scaling_r4] probe healthy (${P}s), running levels" >&2
+
+RN=$(sbt -batch "runMain graft.ScalingBench 2 $PAGES $ROADS" 2>/dev/null | grep -oE '\{"cpus".*\}' | tail -1)
+echo "[scaling_r4] local[2]: $RN" >&2
+R4N=$(sbt -batch "runMain graft.ScalingBench 8 $PAGES $ROADS" 2>/dev/null | grep -oE '\{"cpus".*\}' | tail -1)
+echo "[scaling_r4] local[8]: $R4N" >&2
+R16N=$(sbt -batch "runMain graft.ScalingBench 32 $PAGES $ROADS" 2>/dev/null | grep -oE '\{"cpus".*\}' | tail -1)
+echo "[scaling_r4] local[32]: $R16N" >&2
+PPOST=$(probe)
+echo "[scaling_r4] post-probe: ${PPOST}s" >&2
+
+python3 - "$RN" "$R4N" "$R16N" "$P" "$PPOST" > "$OUT" <<'PY'
+import json, sys
+rn, r4, r16 = (json.loads(a) for a in sys.argv[1:4])
+assert rn["segments"] == r4["segments"] == r16["segments"], "nondeterministic output"
+print(json.dumps({
+    "scale": {"pages": rn["n_pages"], "roads": rn["n_roads"]},
+    "probe_pre_sec": float(sys.argv[4]), "probe_post_sec": float(sys.argv[5]),
+    "N_local2": rn, "4N_local8": r4, "16N_local32": r16,
+    "efficiency_N_to_4N": round((rn["sec"] / r4["sec"]) / 4.0, 3),
+    "efficiency_4N_to_16N": round((r4["sec"] / r16["sec"]) / 4.0, 3)}, indent=1))
+PY
+echo "[scaling_r4] wrote $OUT" >&2
+cat "$OUT"
