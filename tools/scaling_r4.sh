@@ -14,9 +14,17 @@ export SPARK_GRAFT_AQE=false
 export SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-local
 
 probe() {
+  # a failed/garbled probe (e.g. concurrent recompile) reads as unhealthy,
+  # not a crash
   sbt -batch "runMain graft.ScalingBench 32 400000 16000" 2>/dev/null \
     | grep -oE '\{"cpus".*\}' | tail -1 \
-    | python3 -c "import json,sys; print(json.load(sys.stdin)['sec'])"
+    | python3 -c "
+import json, sys
+try:
+    print(json.load(sys.stdin)['sec'])
+except Exception:
+    print(99999)
+"
 }
 
 for attempt in $(seq 1 20); do
