@@ -191,6 +191,21 @@ object SmokeWorld {
     write(graft.operators.Multimodal.decodeAndExtract(media)
       .select(col("media_id"), col("n_frames")),
       dir, "aux_media_meta")
+
+    // q53 (S6 tile scraper): every feature vertex (the oracle recomputes the
+    // zoom-12 cover from these), and the fixture tileset's geometry-tile
+    // listing (the oracle derives the seeded subset and fetched/absent
+    // statuses from it)
+    write(h.features.toDF().select(explode(col("geometry")).as("pt"))
+      .select(element_at(col("pt"), 1).as("lon"), element_at(col("pt"), 2).as("lat")),
+      dir, "aux_feature_vertices")
+    val tilesDir = writeTilesetFixture(spark, dir)
+    val geomTiles = new java.io.File(tilesDir).listFiles()
+      .filter(_.getName.endsWith(".geometry.8.pbf"))
+      .map(_.getName.stripSuffix(".geometry.8.pbf")).sorted.toSeq
+    write(spark.createDataset(geomTiles)(
+      org.apache.spark.sql.Encoders.STRING).toDF("tile_id"),
+      dir, "aux_tileset_geoms")
   }
 
   private def Knn_allDistances(points: DataFrame,
@@ -255,6 +270,31 @@ object SmokeWorld {
         wayId = decSynthId("w", ws.wayId),
         nodeIds = ws.nodeIds.map(decSynthId("n", _))))))
   }
+
+  /** q53's scrape destination: wiped and re-seeded on EVERY call with the
+    * first `seedCount` geometry tiles (by tile id) of the fixture tileset,
+    * so each scrape starts from the same deterministic "some tiles already
+    * cached" diff the reference's `seenGeomTiles` readdir models. Returns
+    * (fixture tileset dir, destination dir). */
+  def scrapeDestReset(spark: SparkSession, seedCount: Int = 5): (String, String) =
+    synchronized {
+      val tiles = writeTilesetFixture(spark)
+      val dest = new java.io.File(s"$auxDir/aux_scrape_dest")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      if (dest.exists()) rm(dest)
+      dest.mkdirs()
+      new java.io.File(tiles).listFiles()
+        .filter(_.getName.endsWith(".geometry.8.pbf"))
+        .map(_.getName).sorted.take(seedCount)
+        .foreach { n =>
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(tiles, n),
+            java.nio.file.Paths.get(dest.getPath, n))
+        }
+      (tiles, dest.getPath)
+    }
 
   /**
    * S1 ingest fixture: the smoke features as gzipped GeoJSON NDJSON, plus

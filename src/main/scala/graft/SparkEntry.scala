@@ -384,6 +384,20 @@ object SparkEntry {
             density("match_density").asInstanceOf[Long], 12)
         }
         .toDF("tile_x", "tile_y", "n_segments", "total_km", "match_density", "zoom")
+    }),
+
+    // S6: the tile scraper, end-to-end over a REAL wire-format tileset
+    // served via file:// (the http(s) path is the same java.net.URL code) —
+    // zoom-12 vertex cover, diff against the seeded destination listing,
+    // then an actual distributed fetch; the oracle recomputes cover, seeded
+    // diff, and each tile's fetched/absent status from the aux vertex and
+    // tileset-listing tables
+    "q53_tile_scrape" -> ((s, _) => {
+      val (tiles, dest) = SmokeWorld.scrapeDestReset(s)
+      graft.sources.TileScraper.scrape(
+        graft.sources.TileScraper.coverTiles(SmokeWorld(s).features.toDF()),
+        s"file://$tiles", dest)
+        .select(col("tile_id"), col("status"))
     })
   )
 
@@ -871,6 +885,28 @@ object SparkEntry {
         |   AS n_bearing_ok,
         | round(CAST(sum(CASE WHEN least(delta, 180 - delta) <= 45 THEN 1 ELSE 0 END) AS DOUBLE)
         |   / count(*), 6) AS bearing_ok_rate
-        |FROM d GROUP BY 1""".stripMargin
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "q53_tile_scrape" ->
+      """WITH cover AS (
+        | SELECT DISTINCT '12-'
+        |   || CAST(CAST(least(greatest(floor((lon + 180.0) / 360.0 * 4096), 0.0), 4095.0) AS BIGINT) AS VARCHAR)
+        |   || '-'
+        |   || CAST(CAST(least(greatest(floor((90.0 - lat) / 180.0 * 4096), 0.0), 4095.0) AS BIGINT) AS VARCHAR)
+        |   AS tile_id
+        | FROM read_parquet('__AUX__/aux_feature_vertices/*.parquet')),
+        |seeded AS (
+        | SELECT tile_id FROM (
+        |  SELECT tile_id, row_number() OVER (ORDER BY tile_id) AS rn
+        |  FROM read_parquet('__AUX__/aux_tileset_geoms/*.parquet'))
+        | WHERE rn <= 5),
+        |remote AS (
+        | SELECT tile_id FROM read_parquet('__AUX__/aux_tileset_geoms/*.parquet'))
+        |SELECT c.tile_id AS tile_id,
+        | CASE WHEN r.tile_id IS NOT NULL THEN 'fetched' ELSE 'absent' END AS status
+        |FROM cover c
+        |LEFT JOIN seeded s ON c.tile_id = s.tile_id
+        |LEFT JOIN remote r ON c.tile_id = r.tile_id
+        |WHERE s.tile_id IS NULL""".stripMargin
   )
 }

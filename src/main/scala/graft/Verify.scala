@@ -14,6 +14,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Spark probes every glob-path read for a streaming-sink metadata dir
+    // and WARNs a benign FileNotFound stack trace per read (see Bench) —
+    // silence that single category so the dump log stays readable.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Side tables for the DuckDB oracle (smoke-world projections + per-sf
     // simhash/ANN/media tables); the oracle SQL references them through the
