@@ -52,6 +52,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the JSON line below is f-interpolated; a comma-decimal default locale
+    // would make it unparseable by the driver
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toLong

@@ -35,6 +35,9 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the JSON line below is f-interpolated; a comma-decimal default locale
+    // would make it unparseable by the harness scripts
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = args(0).toInt
     val nPages = if (args.length > 1) args(1).toLong else 400000L
     val nRoads = if (args.length > 2) args(2).toInt else 16000

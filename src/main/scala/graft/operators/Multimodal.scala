@@ -32,6 +32,11 @@ object Multimodal {
   trait Codec extends Serializable {
     def decode(bytes: Array[Byte]): MediaMeta
     def feature(bytes: Array[Byte]): Array[Float]
+    /** Both in one pass — the hot batch loop uses this; codecs whose decode
+      * is the dominant cost (a full pixel decode) override it to decode the
+      * payload ONCE. */
+    def decodeAll(bytes: Array[Byte]): (MediaMeta, Array[Float]) =
+      (decode(bytes), feature(bytes))
   }
 
   /** Deterministic byte-derived codec: dimensions/frames are pure functions
@@ -94,34 +99,52 @@ object Multimodal {
           r.getFormatName.toLowerCase)
       }.getOrElse(MediaMeta(0, 0, 0, 0, "undecodable"))
 
+    private def pixelFeature(img: java.awt.image.BufferedImage,
+        out: Array[Float]): Unit = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hasAlpha = img.getColorModel.hasAlpha
+      var (sr, sg, sb, sa) = (0.0, 0.0, 0.0, 0.0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+          if (hasAlpha) sa += (p >>> 24) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble * 255.0
+      out(0) = (sr / n).toFloat; out(1) = (sg / n).toFloat
+      out(2) = (sb / n).toFloat; out(3) = (sa / n).toFloat
+      out(4) = w / 1000.0f; out(5) = h / 1000.0f
+      out(6) = img.getColorModel.getNumComponents.toFloat
+      out(7) = w.toFloat / h
+    }
+
     /** 8-dim content feature from REAL pixels: per-channel means (r, g, b,
       * alpha-or-0) plus normalized dims/frames/aspect. */
     def feature(bytes: Array[Byte]): Array[Float] = {
       val out = new Array[Float](8)
-      withReader(bytes) { r =>
-        val img = r.read(0)
-        val (w, h) = (img.getWidth, img.getHeight)
-        val hasAlpha = img.getColorModel.hasAlpha
-        var (sr, sg, sb, sa) = (0.0, 0.0, 0.0, 0.0)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
-            if (hasAlpha) sa += (p >>> 24) & 0xff
-            x += 1
-          }
-          y += 1
-        }
-        val n = (w.toLong * h).toDouble * 255.0
-        out(0) = (sr / n).toFloat; out(1) = (sg / n).toFloat
-        out(2) = (sb / n).toFloat; out(3) = (sa / n).toFloat
-        out(4) = w / 1000.0f; out(5) = h / 1000.0f
-        out(6) = img.getColorModel.getNumComponents.toFloat
-        out(7) = w.toFloat / h
-      }
+      withReader(bytes) { r => pixelFeature(r.read(0), out) }
       out
+    }
+
+    /** One pixel decode serves both meta and feature — the batch loop's
+      * dominant cost would otherwise be paid twice per row. */
+    override def decodeAll(bytes: Array[Byte]): (MediaMeta, Array[Float]) = {
+      val out = new Array[Float](8)
+      val meta = withReader(bytes) { r =>
+        val img = r.read(0)
+        val frames = try math.max(r.getNumImages(true), 1)
+          catch { case _: Exception => 1 }
+        pixelFeature(img, out)
+        MediaMeta(img.getWidth, img.getHeight,
+          img.getColorModel.getNumComponents, frames,
+          r.getFormatName.toLowerCase)
+      }.getOrElse(MediaMeta(0, 0, 0, 0, "undecodable"))
+      (meta, out)
     }
   }
 
@@ -148,9 +171,9 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val m = codec.decode(bytes)
+          val (m, feat) = codec.decodeAll(bytes)
           Row(id, m.width, m.height, m.channels, m.nFrames, m.format,
-            codec.feature(bytes).toSeq)
+            feat.toSeq)
         }
       }(encoder)
   }

@@ -181,7 +181,13 @@ object Sinks {
     val nodeLines = rec.groupBy("final_node_id")
       .agg(min("rlon").as("lon"), min("rlat").as("lat"))
       .orderBy("final_node_id")
-      .map(r => f"""  <node id="${r.getString(0)}" lon="${r.getDouble(1)}%.7f" lat="${r.getDouble(2)}%.7f"/>""")
+      .map { r =>
+        // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+        // comma-decimal locale would emit coordinates no OSM tool can parse
+        val lon = String.format(java.util.Locale.ROOT, "%.7f", Double.box(r.getDouble(1)))
+        val lat = String.format(java.util.Locale.ROOT, "%.7f", Double.box(r.getDouble(2)))
+        s"""  <node id="${r.getString(0)}" lon="$lon" lat="$lat"/>"""
+      }
 
     val ndRefs = rec.groupBy("shstReferenceId", "segmentIndex")
       .agg(array_sort(collect_list(struct(col("vertex_idx"), col("final_node_id"))))

@@ -95,6 +95,13 @@ object Sqlite {
    * 1-based, page 1 is reserved for the schema.
    */
   final class Writer(val pageSize: Int = 4096) {
+    // 65536 is legal SQLite but encoded as the magic value 1 at offset 16,
+    // and pages >32768 break the reader's 2-byte big-endian cell pointers —
+    // restrict to the directly-encodable power-of-two range instead of
+    // writing a file real sqlite3 would reject
+    require(pageSize >= 512 && pageSize <= 32768 &&
+      Integer.bitCount(pageSize) == 1,
+      s"pageSize must be a power of two in [512, 32768], got $pageSize")
     private val pages = ArrayBuffer[Array[Byte]](null) // slot 0 = page 1
     private val master = ArrayBuffer.empty[Seq[V]]     // sqlite_master rows
     private def usable: Int = pageSize                 // reserved space = 0
@@ -497,17 +504,22 @@ object MbTiles {
         "name" -> "graft-conflation", "format" -> "json",
         "type" -> "overlay", "version" -> "1")): Long = {
     import org.apache.spark.sql.Row
+    // no cluster-side orderBy: write() re-sorts driver-side after the TMS
+    // y-flip anyway, so a distributed range-partition+sort is pure waste
     val ordered = tilesDf
       .select(F.col("zoom").cast("int"), F.col("tile_x").cast("long"),
         F.col("tile_y").cast("long"), F.col("n_segments").cast("long"),
         F.col("total_km").cast("double"), F.col("match_density").cast("long"))
-      .orderBy("zoom", "tile_x", "tile_y")
     val rows = ArrayBuffer.empty[(Int, Long, Long, Array[Byte])]
     val it = ordered.toLocalIterator()
     while (it.hasNext) {
       val r: Row = it.next()
-      val json = f"""{"n_segments":${r.getLong(3)},"total_km":${r.getDouble(4)}%.6f,""" +
-        f""""match_density":${r.getLong(5)}}"""
+      // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+      // comma-decimal locale would render total_km as invalid JSON
+      val totalKm = String.format(java.util.Locale.ROOT, "%.6f",
+        Double.box(r.getDouble(4)))
+      val json = s"""{"n_segments":${r.getLong(3)},"total_km":$totalKm,""" +
+        s""""match_density":${r.getLong(5)}}"""
       val bos = new java.io.ByteArrayOutputStream()
       val gz = new java.util.zip.GZIPOutputStream(bos)
       gz.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)); gz.close()

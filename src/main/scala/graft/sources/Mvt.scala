@@ -141,6 +141,10 @@ object Mvt {
         col("networklevel"), col("roadClass"),
         (col("endDist") - col("startDist")).as("len_km"),
         size(col("tmMeta")).as("n_tm"), col("coordinates"))
+      // a degenerate empty-coordinates row would null the tile key and kill
+      // the whole render (kernel output always has ≥2 points; this guards
+      // hand-fed inputs) — dropping a geometry-less segment loses nothing
+      .filter(size(col("coordinates")) >= 1)
       .withColumn("first", element_at(col("coordinates"), 1))
       .withColumn("tile_x", graft.functions.geo.tile_x(
         element_at(col("first"), 1), lit(zoom)))
@@ -177,8 +181,9 @@ object Mvt {
     * `.mbtiles` file (format=pbf per the MBTiles spec). */
   def writeMbtiles(segments: Dataset[ConflationSegment], zoom: Int,
       path: String): Long = {
+    // no cluster-side orderBy: MbTiles.write re-sorts driver-side after the
+    // TMS y-flip anyway, so a distributed range-partition+sort is pure waste
     val rendered = renderTiles(segments, zoom)
-      .orderBy("zoom", "tile_x", "tile_y")
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Array[Byte])]
     val it = rendered.toLocalIterator()
     while (it.hasNext) {

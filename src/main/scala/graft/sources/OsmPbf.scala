@@ -215,17 +215,11 @@ object OsmPbf {
     // (s3a credentials/endpoints etc.) as plain pairs and rebuild executor-
     // side, instead of a bare new Configuration() that silently dropped them
     // (ADVICE r3).
-    val hadoopKVs: Seq[(String, String)] = {
-      val it = ds.sparkSession.sparkContext.hadoopConfiguration.iterator()
-      val b = Seq.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
+    val hadoopKVs = HadoopConf.kvs(ds.sparkSession)
     ds.rdd.mapPartitionsWithIndex { (i, it) =>
       if (it.isEmpty) Iterator.empty
       else {
-        val conf = new org.apache.hadoop.conf.Configuration()
-        hadoopKVs.foreach { case (k, v) => conf.set(k, v) }
+        val conf = HadoopConf.build(hadoopKVs)
         val dir = new org.apache.hadoop.fs.Path(path)
         val fs = dir.getFileSystem(conf)
         fs.mkdirs(dir)
@@ -242,7 +236,9 @@ object OsmPbf {
           render(it).foreach(out.write)
         } finally out.close()
         if (fs.exists(f)) fs.delete(f, false)
-        fs.rename(tmp, f)
+        // a failed rename must fail the task, not silently lose the shard
+        if (!fs.rename(tmp, f) && !fs.exists(f))
+          throw new java.io.IOException(s"rename $tmp -> $f failed")
         Iterator.single(f.toString)
       }
     }.count()

@@ -410,15 +410,17 @@ object ShstTiles {
       nodeIdEnc: String => Long = _.toLong): Long = {
     val spark = refs.sparkSession
     import spark.implicits._
-    val hadoopKVs: Seq[(String, String)] = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val b = Seq.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
+    val hadoopKVs = HadoopConf.kvs(spark)
+    // a group with no forward reference cannot be exported faithfully (its
+    // coordinates are reversed relative to the geometry's orientation, and
+    // re-reading would silently flip the direction) — skip it, COUNTED
+    val skippedBackOnly = spark.sparkContext.longAccumulator(
+      "writeTileset.skippedBackOnlyGroups")
     val msgs = refs.groupByKey(_.geometryId).flatMapGroups { (gid, it) =>
       val rs = it.toSeq.sortBy(r => (!r.isForward, r.shstReferenceId))
-      val fwd = rs.find(_.isForward).getOrElse(rs.head)
+      val fwdOpt = rs.find(_.isForward)
+      if (fwdOpt.isEmpty) { skippedBackOnly.add(1); Seq.empty } else {
+      val fwd = fwdOpt.get
       val back = rs.find(!_.isForward)
       val coords = fwd.coordinates
       val tid = tileIdFor(coords.head.head, coords.head(1), zoom)
@@ -437,17 +439,17 @@ object ShstTiles {
           back.map(_.shstReferenceId), rc, coords)),
         (tid, "metadata", gid, encMetadata(gid, fwd.waySections,
           wayIdEnc, nodeIdEnc))) ++ refMsgs
+      }
     }.toDF("tile_id", "kind", "sort_key", "bytes")
     // a (tile, kind) group lands whole in one partition; the sort makes each
     // file's bytes deterministic across reruns and parallelism levels
-    msgs.repartition(col("tile_id"), col("kind"))
+    val nFiles = msgs.repartition(col("tile_id"), col("kind"))
       .sortWithinPartitions("tile_id", "kind", "sort_key")
       .as[(String, String, String, Array[Byte])]
       .mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
         else {
-          val conf = new org.apache.hadoop.conf.Configuration()
-          hadoopKVs.foreach { case (k, v) => conf.set(k, v) }
+          val conf = HadoopConf.build(hadoopKVs)
           val dirPath = new org.apache.hadoop.fs.Path(dir)
           val fs = dirPath.getFileSystem(conf)
           fs.mkdirs(dirPath)
@@ -461,7 +463,9 @@ object ShstTiles {
           def closeFile(): Unit = if (out != null) {
             out.close()
             if (fs.exists(fin)) fs.delete(fin, false)
-            fs.rename(tmp, fin)
+            // a failed rename must fail the task, not silently lose the tile
+            if (!fs.rename(tmp, fin) && !fs.exists(fin))
+              throw new java.io.IOException(s"rename $tmp -> $fin failed")
             files += fin.toString
             out = null
           }
@@ -485,5 +489,10 @@ object ShstTiles {
           files.result().iterator
         }
       }.count()
+    if (skippedBackOnly.value > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"writeTileset: skipped ${skippedBackOnly.value} geometry group(s) " +
+          "with no forward reference (unexportable orientation)")
+    nFiles
   }
 }

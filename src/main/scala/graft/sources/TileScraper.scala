@@ -89,20 +89,14 @@ object TileScraper {
     import spark.implicits._
     val seen = existingTiles(spark, destDir, kind, level).toSet
     val seenB = spark.sparkContext.broadcast(seen)
-    val hadoopKVs: Seq[(String, String)] = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val b = Seq.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
+    val hadoopKVs = HadoopConf.kvs(spark)
     cover.select(col("tile_id").cast("string")).as[String]
       .filter(tid => !seenB.value.contains(tid))
       .repartition(fetchParallelism)
       .mapPartitions { tiles =>
         if (tiles.isEmpty) Iterator.empty
         else {
-          val conf = new org.apache.hadoop.conf.Configuration()
-          hadoopKVs.foreach { case (k, v) => conf.set(k, v) }
+          val conf = HadoopConf.build(hadoopKVs)
           val dirPath = new org.apache.hadoop.fs.Path(destDir)
           val fs = dirPath.getFileSystem(conf)
           fs.mkdirs(dirPath)

@@ -90,4 +90,13 @@ class MbTilesSpec extends AnyFunSuite {
     val json = new String(gz.readAllBytes(), "UTF-8")
     assert(json.contains(s""""n_segments":${first.getAs[Long]("n_segments")}"""))
   }
+
+  test("writer rejects page sizes it cannot encode directly") {
+    // 65536 is spec-legal but encoded as the magic 1, and >32768 breaks the
+    // reader's 2-byte cell pointers — constructor must refuse, not write a
+    // file sqlite3 rejects
+    intercept[IllegalArgumentException](new Sqlite.Writer(65536))
+    intercept[IllegalArgumentException](new Sqlite.Writer(3000))
+    new Sqlite.Writer(32768) // largest directly-encodable size is fine
+  }
 }

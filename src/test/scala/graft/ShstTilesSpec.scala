@@ -207,4 +207,25 @@ class ShstTilesSpec extends AnyFunSuite {
     assert(allGeom.count() == 3)
     assert(allGeom.select("tile_id").distinct().count() == 2)
   }
+
+  test("writeTileset skips back-only geometry groups instead of flipping them") {
+    import spark.implicits._
+    // a group whose forward reference was filtered out upstream cannot be
+    // exported faithfully (the back ref's coordinates are reversed relative
+    // to the geometry's orientation) — it must be skipped, not silently
+    // published with flipped orientation
+    val backOnly = graft.operators.ConflationPipeline
+      .references(spark, 40).filter(r => !r.isForward)
+    assert(backOnly.count() > 0, "fixture needs at least one back reference")
+    val dir = Files.createTempDirectory("tiles-backonly").toString
+    val idEnc: String => Long = s => {
+      val b = s.substring(1); val u = b.indexOf('_')
+      (b.substring(0, u).toLong << 20) | b.substring(u + 1).toLong
+    }
+    val n = ShstTiles.writeTileset(backOnly, dir,
+      wayIdEnc = idEnc, nodeIdEnc = idEnc)
+    assert(n == 0)
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    assert(!files.exists(_.getName.endsWith(".pbf")), files.map(_.getName).toSeq)
+  }
 }

@@ -30,10 +30,13 @@ for attempt in $(seq 1 60); do
     PPOST=$(probe)
     echo "[certify8] $(date +%H:%M) post-probe: ${PPOST}s" >&2
     if [ -n "$R8" ] && python3 -c "import sys; sys.exit(0 if float('$PPOST') < 17.0 else 1)"; then
-      python3 - "$R8" "$P" "$PPOST" <<'PY'
+      # the artifact write must SUCCEED (valid JSON, expected segment count)
+      # before anything is committed — a garbled sbt run must not reach
+      # "CERTIFIED" or stage a stale artifact from a previous attempt
+      if python3 - "$R8" "$P" "$PPOST" <<'PY'
 import json, sys
 r8 = json.loads(sys.argv[1])
-assert r8["segments"] == 18543376
+assert r8["segments"] == 18543376, f"unexpected segments: {r8['segments']}"
 out = {
   "certified_bracket": {"probe_pre_sec": float(sys.argv[2]),
                         "probe_post_sec": float(sys.argv[3])},
@@ -42,12 +45,18 @@ out = {
 }
 json.dump(out, open("SCALING_r4_level8_certified.json", "w"), indent=1)
 PY
-      git add SCALING_r4_level8_certified.json
-      git commit -q -m "Certify the 25.6M local[8] scaling point in a clean probe bracket"
-      echo "[certify8] CERTIFIED"
-      exit 0
+      then
+        git add SCALING_r4_level8_certified.json \
+          && git commit -q -m "Certify the 25.6M local[8] scaling point in a clean probe bracket" \
+          && echo "[certify8] CERTIFIED" \
+          && exit 0
+        echo "[certify8] commit failed, retrying" >&2
+      else
+        echo "[certify8] level-8 output garbled, retrying" >&2
+      fi
+    else
+      echo "[certify8] bracket not clean, retrying" >&2
     fi
-    echo "[certify8] bracket not clean, retrying" >&2
   fi
   sleep 240
 done

@@ -27,14 +27,21 @@ except Exception:
 "
 }
 
+HEALTHY=0
 for attempt in $(seq 1 20); do
   P=$(probe)
   echo "[scaling_r4] probe attempt $attempt: ${P}s" >&2
   if python3 -c "import sys; sys.exit(0 if float('$P') < 17.0 else 1)"; then
+    HEALTHY=1
     break
   fi
   sleep 120
 done
+if [ "$HEALTHY" != 1 ]; then
+  # never certify a noisy window: exhausting the probe budget aborts
+  echo "[scaling_r4] no healthy probe in 20 attempts (last ${P}s) — aborting" >&2
+  exit 1
+fi
 echo "[scaling_r4] probe healthy (${P}s), running levels" >&2
 
 RN=$(sbt -batch "runMain graft.ScalingBench 2 $PAGES $ROADS" 2>/dev/null | grep -oE '\{"cpus".*\}' | tail -1)
