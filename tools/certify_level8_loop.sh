@@ -5,9 +5,19 @@
 # and exit. Safe to leave running at round end.
 set -u
 cd "$(dirname "$0")/.."
-mkdir -p /dev/shm/spark-local
 export SPARK_GRAFT_AQE=false
 export SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-local
+
+# Killed/failed runs LEAK shuffle dirs into tmpfs — 73G of leftovers were
+# found eating RAM (available 51G on a 125G box), which is exactly the
+# "progressively degrading memory path" the level-8 reruns recorded: each
+# failed attempt slowed the next. Wipe before every measurement; these
+# scripts run exclusively, so nothing live uses the dir.
+clean_shm() {
+  rm -rf /dev/shm/spark-local
+  mkdir -p /dev/shm/spark-local
+}
+clean_shm
 
 probe() {
   sbt -batch "runMain graft.ScalingBench 32 400000 16000" 2>/dev/null \
@@ -25,6 +35,7 @@ for attempt in $(seq 1 60); do
   P=$(probe)
   echo "[certify8] $(date +%H:%M) probe $attempt: ${P}s" >&2
   if python3 -c "import sys; sys.exit(0 if float('$P') < 17.0 else 1)"; then
+    clean_shm
     R8=$(sbt -batch "runMain graft.ScalingBench 8 25600000 1024000" 2>/dev/null | grep -oE '\{"cpus".*\}' | tail -1)
     echo "[certify8] $(date +%H:%M) local[8]: $R8" >&2
     PPOST=$(probe)

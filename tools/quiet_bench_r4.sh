@@ -7,6 +7,9 @@
 # certification loop, which owns its own bracketing and commit.
 set -u
 cd "$(dirname "$0")/.."
+# wipe leaked shuffle dirs from killed runs first — 73G of tmpfs leftovers
+# were found shrinking available RAM and degrading every later measurement
+rm -rf /dev/shm/spark-local
 mkdir -p /dev/shm/spark-local
 export SPARK_GRAFT_AQE=false
 export SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-local

@@ -5,6 +5,9 @@ set -e
 PAGES=${1:-6400000}
 ROADS=${2:-256000}
 cd "$(dirname "$0")/.."
+# wipe leaked shuffle dirs from killed runs first — 73G of tmpfs leftovers
+# were found shrinking available RAM and degrading every later measurement
+rm -rf /dev/shm/spark-local
 mkdir -p /dev/shm/spark-local
 export SPARK_GRAFT_AQE=false               # no driver-serial replanning in the measurement
 export SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-local

@@ -9,6 +9,9 @@ cd "$(dirname "$0")/.."
 PAGES=${1:-25600000}
 ROADS=${2:-1024000}
 OUT=${3:-SCALING_r4.json}
+# wipe leaked shuffle dirs from killed runs first — 73G of tmpfs leftovers
+# were found shrinking available RAM and degrading every later measurement
+rm -rf /dev/shm/spark-local
 mkdir -p /dev/shm/spark-local
 export SPARK_GRAFT_AQE=false
 export SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-local
