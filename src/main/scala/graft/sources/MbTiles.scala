@@ -36,11 +36,20 @@ object Sqlite {
   // ---- low-level encoding --------------------------------------------------
 
   /** SQLite varint: big-endian 7-bit groups, at most 9 bytes (non-negative
-    * values only — lengths, rowids, serial types). */
+    * values only — lengths, rowids, serial types). In the 9-byte form the
+    * spec gives the FINAL byte all 8 bits (not 7) — values ≥ 2⁵⁶ must use
+    * it or a real sqlite3 reader decodes a different number. */
   def varint(v0: Long): Array[Byte] = {
     require(v0 >= 0, s"negative varint $v0")
     if (v0 < 0x80) Array(v0.toByte)
-    else {
+    else if (v0 >= (1L << 56)) {
+      val out = new Array[Byte](9)
+      out(8) = v0.toByte // low 8 bits, high bit NOT a continuation flag here
+      var x = v0 >>> 8
+      var i = 7
+      while (i >= 0) { out(i) = ((x & 0x7f) | 0x80).toByte; x >>>= 7; i -= 1 }
+      out
+    } else {
       val groups = ArrayBuffer.empty[Byte]
       var x = v0
       while (x != 0) { groups += (x & 0x7f).toByte; x >>>= 7 }
@@ -197,10 +206,24 @@ object Sqlite {
             if (interiorType == 0x05) be32(children(i)) ++ seps(i)
             else be32(children(i)) ++ indexCellBody(seps(i))
           if (size + 2 + cell.length > usable && cells.nonEmpty) {
-            // close this page: rightmost = children(i); promote seps(i)
-            newChildren += alloc(page(interiorType, cells.toSeq, children(i), isPage1 = false))
-            newSeps += seps(i)
-            cells.clear(); size = 12
+            if (i == children.size - 2) {
+              // closing on the LAST separator would leave this level's final
+              // page with zero cells (rightmost pointer only) — split one
+              // cell earlier instead so both pages stay non-empty. cells has
+              // ≥ 2 entries here: any page fits at least two interior cells
+              // (max local cell ≈ U/4 after index-payload splitting), so the
+              // overflow can only fire with ≥ 2 already queued.
+              cells.remove(cells.size - 1) // (children(i-1), seps(i-1)) cell
+              newChildren += alloc(page(interiorType, cells.toSeq, children(i - 1), isPage1 = false))
+              newSeps += seps(i - 1)
+              cells.clear(); size = 12
+              cells += cell; size += 2 + cell.length
+            } else {
+              // close this page: rightmost = children(i); promote seps(i)
+              newChildren += alloc(page(interiorType, cells.toSeq, children(i), isPage1 = false))
+              newSeps += seps(i)
+              cells.clear(); size = 12
+            }
           } else {
             cells += cell; size += 2 + cell.length
           }
@@ -278,6 +301,14 @@ object Sqlite {
       val cells = master.zipWithIndex.map { case (r, i) =>
         tableLeafCell(i + 1L, record(r))
       }
+      // page 1 is a single leaf (no interior level for the schema table);
+      // fail loudly if the catalog outgrows it rather than write a file
+      // whose cell content area overlaps the pointer array
+      val need = 100 + 8 + cells.map(_.length + 2).sum
+      require(need <= pageSize,
+        s"sqlite_master (${master.size} rows, $need bytes incl. header) " +
+          s"overflows page 1 at pageSize $pageSize — use fewer/shorter " +
+          "schema entries or a larger pageSize")
       val p1 = page(0x0d, cells.toSeq, 0, isPage1 = true)
       val h = java.nio.ByteBuffer.wrap(p1)
       h.put("SQLite format 3\u0000".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))

@@ -91,6 +91,61 @@ class MbTilesSpec extends AnyFunSuite {
     assert(json.contains(s""""n_segments":${first.getAs[Long]("n_segments")}"""))
   }
 
+  test("9-byte varints (rowids >= 2^56) round-trip — final byte carries 8 bits") {
+    // the spec's 9-byte varint gives the LAST byte all 8 bits; nine 7-bit
+    // groups would decode to a different number in any real sqlite3 reader
+    for (base <- Seq((1L << 56) - 2, 1L << 56, (1L << 56) + 5, Long.MaxValue - 3)) {
+      // addTable always numbers from 1, so drive tableBtree directly with an
+      // explicit firstRowid and read the captured root back
+      val w = new Sqlite.Writer(512)
+      val root = w.tableBtree(
+        (0 until 3).iterator.map(i => Seq(Sqlite.VText(s"row-$i"))), firstRowid = base)
+      val path = tmpFile(s"varint9-$base.sqlite")
+      w.writeTo(path)
+      val r = new Sqlite.Reader(Files.readAllBytes(java.nio.file.Paths.get(path)))
+      val rows = r.tableRows(root)
+      assert(rows.map(_._1) == Seq(base, base + 1, base + 2))
+      assert(rows.head._2 == Seq(Sqlite.VText("row-0")))
+    }
+  }
+
+  test("no interior b-tree page is ever empty (close-at-last-separator edge)") {
+    // sweep row counts across the boundary where the first interior level
+    // overflows exactly at its last separator: pre-fix that produced a
+    // zero-cell interior page (rightmost pointer only) in the final slot
+    for (nRows <- 270 to 345) {
+      val path = tmpFile(s"sweep-$nRows.sqlite")
+      val w = new Sqlite.Writer(512)
+      w.addTable("t", "CREATE TABLE t (v text)",
+        (0 until nRows).iterator.map(i => Seq(Sqlite.VText(f"v-$i%04d-${"p" * 80}"))))
+      w.writeTo(path)
+      val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+      val r = new Sqlite.Reader(bytes)
+      // payloads are < min-local so no overflow pages exist: every page past
+      // page 1 is a b-tree page and its type byte is at offset 0
+      for (p <- 2 to bytes.length / 512) {
+        val base = (p - 1) * 512
+        val t = bytes(base) & 0xff
+        val ncells = ((bytes(base + 3) & 0xff) << 8) | (bytes(base + 4) & 0xff)
+        if (t == 0x05 || t == 0x02)
+          assert(ncells >= 1, s"empty interior page $p at nRows=$nRows")
+      }
+      val root = r.schema.find(s => s._1 == "table" && s._2 == "t").get._4
+      val rows = r.tableRows(root)
+      assert(rows.size == nRows && rows.map(_._1) == (1 to nRows).map(_.toLong))
+    }
+  }
+
+  test("a sqlite_master catalog that outgrows page 1 fails loudly") {
+    val w = new Sqlite.Writer(512)
+    for (i <- 0 until 8)
+      w.addTable(s"table_with_a_fairly_long_name_$i",
+        s"CREATE TABLE table_with_a_fairly_long_name_$i (a text, b text, c integer)",
+        Iterator.empty)
+    val ex = intercept[IllegalArgumentException](w.writeTo(tmpFile("overflow1.sqlite")))
+    assert(ex.getMessage.contains("overflows page 1"))
+  }
+
   test("writer rejects page sizes it cannot encode directly") {
     // 65536 is spec-legal but encoded as the magic 1, and >32768 breaks the
     // reader's 2-byte cell pointers — constructor must refuse, not write a
