@@ -19,6 +19,11 @@ object Bench {
     val localDir =
       if (new java.io.File("/dev/shm").isDirectory) {
         val d = new java.io.File("/dev/shm/spark-local"); d.mkdirs()
+        // killed/crashed runs leak blockmgr-*/spark-* dirs here; on a tmpfs
+        // that is leaked RAM, which measurably degrades later runs (73 GB
+        // found once — see BENCH.md). Bench runs are exclusive by protocol,
+        // so anything present at startup is stale: wipe it.
+        wipeStale(d)
         d.getAbsolutePath
       } else "/tmp"
     SparkSession.builder()
@@ -32,6 +37,15 @@ object Bench {
       .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+  }
+
+  /** Delete everything under `dir` (but not `dir` itself); best-effort. */
+  def wipeStale(dir: java.io.File): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach(rm)
   }
 
   /** Run the conflation pipeline once; returns (segments, tiles, seconds). */

@@ -17,6 +17,13 @@ object ScalingBench {
 
   def run(cpus: Int, nPages: Long, nRoads: Int): (Long, Long, Double) = {
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus.toString)
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp")
+    // on tmpfs, leaked shuffle dirs from killed runs are leaked RAM that
+    // degrades this measurement — scaling runs are exclusive, so anything
+    // already there is stale (same rationale as Bench.buildSession)
+    if (localDir.startsWith("/dev/shm")) {
+      val d = new java.io.File(localDir); d.mkdirs(); Bench.wipeStale(d)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
@@ -24,8 +31,7 @@ object ScalingBench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.inMemoryColumnarStorage.compressed",
         sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESS", "true"))
-      .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
+      .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
