@@ -345,9 +345,11 @@ object SparkEntry {
         size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"))),
 
     // winnowing fingerprint (rolling-hash k-grams, sliding-window minima);
-    // oracle recomputes the selection over the materialized hash table
+    // zero-shuffle HOF form (per-row array minima — no gram explode, no
+    // per-doc window shuffle); the oracle recomputes the window form over
+    // the materialized hash table and the equivalence spec pins the two
     "q49_winnow_fingerprint" -> ((s, d) => graft.operators.Dedup
-      .winnowedFingerprint(t(s, d, "documents"), "doc_id", "text", k = 8, w = 4)),
+      .winnowedFingerprintInline(t(s, d, "documents"), "doc_id", "text", k = 8, w = 4)),
 
     // QA bearing-delta gate over the enriched matches (45° threshold,
     // axis-folded for bidirectional matches)

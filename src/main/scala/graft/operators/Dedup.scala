@@ -352,6 +352,32 @@ object Dedup {
         expr("bit_xor(DISTINCT sel)").as("fp_xor"))
   }
 
+  /**
+   * Zero-shuffle winnowing: identical output to [[winnowedFingerprint]] but
+   * computed entirely inside one projection with array higher-order
+   * functions — k-gram hashes, per-position `w`-window minima
+   * (`array_min(slice(...))`, O(n·w) per row), distinct + XOR fold. No
+   * posexplode, no per-doc window shuffle: winnowing is embarrassingly
+   * parallel per document, so at 100 TB this is a narrow map over the scan
+   * instead of shuffling ~|text| gram rows per page. The window form stays
+   * as the relational twin (the DuckDB oracle and the equivalence spec
+   * recompute it verbatim).
+   */
+  def winnowedFingerprintInline(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        expr(s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+          s"i -> xxhash64(substring($textCol, i, $k)))").as("__hs"))
+      // full w-wide windows start at 0..n-w; a doc with fewer than w k-grams
+      // keeps its single whole-doc window at 0 (slice caps at array end) —
+      // the same edge rule the window form pins
+      .select(col("doc_id"),
+        expr(("array_distinct(transform(sequence(0, greatest(size(__hs) - %d, 0)), " +
+          "p -> array_min(slice(__hs, p + 1, %d))))").format(w, w)).as("__sel"))
+      .select(col("doc_id"),
+        size(col("__sel")).cast("long").as("n_fp"),
+        expr("aggregate(__sel, CAST(0 AS BIGINT), (a, x) -> a ^ x)").as("fp_xor"))
+
   /** Pure 64-bit SimHash over tokens (bit-majority of token hashes). */
   def simhash64(tokens: Seq[String]): Long = {
     val votes = new Array[Int](64)

@@ -295,6 +295,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(n4 == 11L)
   }
 
+  test("winnowing: zero-shuffle HOF form equals the window form row-for-row") {
+    // the inline form (array_min over slices, no explode/shuffle) is what
+    // q49 runs at scale; it must match the relational twin on every edge:
+    // text shorter than k, exactly k, n < w grams, n == w, long docs with
+    // repeated substrings (duplicate minima across adjacent windows)
+    val docs = Seq(
+      (1L, "a"), (2L, "tiny"), (3L, "exactly8!"), (4L, "elevenchars"),
+      (5L, "abcdefghijklmnopqr"),
+      (6L, "the same phrase repeats the same phrase repeats the same phrase"),
+      (7L, ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 4)),
+      (8L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzz")).toDF("doc_id", "text")
+    val win = graft.operators.Dedup.winnowedFingerprint(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val inl = graft.operators.Dedup.winnowedFingerprintInline(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(inl.sameElements(win), s"inline=${inl.toSeq} window=${win.toSeq}")
+    // and the inline plan really is shuffle-free: a single narrow projection
+    val plan = graft.operators.Dedup
+      .winnowedFingerprintInline(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"inline winnowing must not shuffle:\n$plan")
+  }
+
   test("multimodal: ImageIoCodec really decodes rendered PNG/BMP bytes") {
     import java.awt.image.BufferedImage
     def render(w: Int, h: Int, fmt: String, rgb: Int): Array[Byte] = {
