@@ -65,33 +65,55 @@ object geo {
 
   def tile_y(lat: Column, zoom: Column): Column = toCol(TileY(toExpr(lat), toExpr(zoom)))
 
+  /** (name, arity, builder) for every SQL-exposed function — the single
+    * table behind both [[register]] (temp functions on a live session) and
+    * `GraftExtensions.injectFunction` (session-build-time registration via
+    * `spark.sql.extensions=graft.plans.GraftExtensions`, no code call
+    * needed). Arity is carried so both paths reject wrong argument counts
+    * with a clear message instead of a MatchError. */
+  private[graft] val sqlFunctions: Seq[(String, Int,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    ("geodesic_length_km", 1, { case Seq(a) => GeodesicLength(a) }),
+    ("haversine_km", 4, { case Seq(a, b, c, d) => Haversine(a, b, c, d) }),
+    ("final_bearing", 1, { case Seq(a) => FinalBearing(a) }),
+    ("bearing_delta", 2, { case Seq(a, b) => BearingDelta(a, b) }),
+    ("locate_along", 3, { case Seq(a, b, c) => LocateAlong(a, b, c) }),
+    ("nearest_point_on_line", 3, { case Seq(a, b, c) => NearestPointOnLine(a, b, c) }),
+    ("point_along", 2, { case Seq(a, b) => PointAlong(a, b) }),
+    ("line_slice_along", 3, { case Seq(a, b, c) => LineSliceAlong(a, b, c) }),
+    ("densify", 1, { case Seq(a) => Densify(a) }),
+    ("cell_encode", 3, { case Seq(a, b, c) => CellEncode(a, b, c) }),
+    ("cell_ring", 2, { case Seq(a, b) => CellRing(a, b) }),
+    ("cell_disk", 2, { case Seq(a, b) => CellDisk(a, b) }),
+    ("cell_cover_line", 2, { case Seq(a, b) => CellCoverLine(a, b) }),
+    ("geoprox_key", 2, { case Seq(a, b) => GeoProxKey(a, b) }),
+    ("within_ring", 2, { case Seq(a, b) => WithinRing(a, b) }),
+    ("point_in_ring", 3, { case Seq(a, b, c) => PointInRing(a, b, c) }),
+    ("frechet_km", 2, { case Seq(a, b) => FrechetDistance(a, b) }),
+    ("hausdorff_km", 2, { case Seq(a, b) => HausdorffDistance(a, b) }),
+    ("directed_hausdorff_km", 2, { case Seq(a, b) => DirectedHausdorff(a, b) }),
+    ("tile_x", 2, { case Seq(a, b) => TileX(a, b) }),
+    ("tile_y", 2, { case Seq(a, b) => TileY(a, b) }),
+    ("cosine_sim", 2, { case Seq(a, b) => CosineSim(a, b) }))
+
+  /** Wrap a builder with an arity check (MatchError → readable error). */
+  private[graft] def checkedBuilder(name: String, arity: Int,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression =
+    args => {
+      require(args.length == arity,
+        s"$name expects $arity argument(s), got ${args.length}")
+      builder(args)
+    }
+
   /** Register all geo functions for SQL use on this session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def r(name: String)(builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
-        => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
-    r("geodesic_length_km") { case Seq(a) => GeodesicLength(a) }
-    r("haversine_km") { case Seq(a, b, c, d) => Haversine(a, b, c, d) }
-    r("final_bearing") { case Seq(a) => FinalBearing(a) }
-    r("bearing_delta") { case Seq(a, b) => BearingDelta(a, b) }
-    r("locate_along") { case Seq(a, b, c) => LocateAlong(a, b, c) }
-    r("nearest_point_on_line") { case Seq(a, b, c) => NearestPointOnLine(a, b, c) }
-    r("point_along") { case Seq(a, b) => PointAlong(a, b) }
-    r("line_slice_along") { case Seq(a, b, c) => LineSliceAlong(a, b, c) }
-    r("densify") { case Seq(a) => Densify(a) }
-    r("cell_encode") { case Seq(a, b, c) => CellEncode(a, b, c) }
-    r("cell_ring") { case Seq(a, b) => CellRing(a, b) }
-    r("cell_disk") { case Seq(a, b) => CellDisk(a, b) }
-    r("cell_cover_line") { case Seq(a, b) => CellCoverLine(a, b) }
-    r("geoprox_key") { case Seq(a, b) => GeoProxKey(a, b) }
-    r("within_ring") { case Seq(a, b) => WithinRing(a, b) }
-    r("point_in_ring") { case Seq(a, b, c) => PointInRing(a, b, c) }
-    r("frechet_km") { case Seq(a, b) => FrechetDistance(a, b) }
-    r("hausdorff_km") { case Seq(a, b) => HausdorffDistance(a, b) }
-    r("directed_hausdorff_km") { case Seq(a, b) => DirectedHausdorff(a, b) }
-    r("tile_x") { case Seq(a, b) => TileX(a, b) }
-    r("tile_y") { case Seq(a, b) => TileY(a, b) }
-    r("cosine_sim") { case Seq(a, b) => CosineSim(a, b) }
+    sqlFunctions.foreach { case (name, arity, builder) =>
+      reg.createOrReplaceTempFunction(name, checkedBuilder(name, arity, builder), "built-in")
+    }
   }
 }

@@ -71,5 +71,16 @@ object SpatialFilterRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SpatialFilterRewrite)
+    // the full SQL function surface rides along: with
+    // spark.sql.extensions=graft.plans.GraftExtensions a plain spark.sql
+    // session has geodesic_length_km(...) etc. with no code call needed
+    // (graft.functions.geo.register(spark) remains the live-session path)
+    graft.functions.geo.sqlFunctions.foreach { case (name, arity, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        graft.functions.geo.checkedBuilder(name, arity, builder)))
+    }
   }
 }

@@ -63,8 +63,35 @@ class ExtensionsSpec extends AnyFunSuite {
   test("GraftExtensions registers without error on a fresh extensions object") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // would throw if the injection API shifted
-    // the rule itself is exercised through extraOptimizations above
+    // the rule itself is exercised through extraOptimizations above; the
+    // injected function surface is the same table geo.register exposes,
+    // exercised through SQL below
     succeed
+  }
+
+  test("SQL function surface: every table entry parses, runs, and checks arity") {
+    graft.functions.geo.register(spark)
+    // one smoke evaluation through the SQL parser for a representative of
+    // each arity (1, 2, 3, 4 args)
+    val r = spark.sql(
+      """SELECT round(haversine_km(0D, 0D, 0D, 1D), 3) AS hav,
+        |  round(geodesic_length_km(array(array(0D, 0D), array(0D, 1D))), 3) AS len,
+        |  round(locate_along(array(array(0D, 0D), array(0D, 1D)), 0D, 0.5D), 3) AS loc,
+        |  cell_encode(0D, 0D, 8) AS cell,
+        |  round(cosine_sim(array(1F, 0F), array(1F, 0F)), 6) AS cs
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == r.getDouble(1), r.toString) // both are 1° meridian arcs
+    assert(math.abs(r.getDouble(2) - r.getDouble(0) / 2) < 1e-3, r.toString)
+    assert(r.getDouble(4) == 1.0, r.toString)
+    // every registered name resolves through the parser (arity-correct call
+    // built from the table itself)
+    graft.functions.geo.sqlFunctions.foreach { case (name, arity, _) =>
+      val args = Seq.fill(arity)("NULL").mkString(", ")
+      spark.sql(s"SELECT $name($args)") // analyzes without unresolved-function error
+    }
+    // wrong arity fails with the readable message, not a MatchError
+    val e = intercept[Exception](spark.sql("SELECT haversine_km(1D, 2D)").collect())
+    assert(e.getMessage.contains("expects 4 argument"), e.getMessage)
   }
 
   test("rewrite preserves semantics exactly") {
