@@ -151,6 +151,14 @@ object SmokeWorld {
       .filter(col("node_id").isNotNull),
       dir, "aux_seg_nodes")
 
+    // every segment vertex with its zoom-gate key (q54's raster input): the
+    // oracle recomputes the per-pixel binning and per-tile statistics from
+    // these raw doubles, independent of the Spark-side PNG round-trip
+    write(segDf.select(col("networklevel"), explode(col("coordinates")).as("pt"))
+      .select(col("networklevel"),
+        element_at(col("pt"), 1).as("lon"), element_at(col("pt"), 2).as("lat")),
+      dir, "aux_segment_vertices")
+
     // full point×reference distance matrix (25 × |refs| — tiny); the q31
     // oracle takes exact top-k over it, checking cell-ring completeness
     write(Knn_allDistances(knnPoints(spark), h.refs), dir, "aux_knn_dists")

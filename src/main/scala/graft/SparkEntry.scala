@@ -388,6 +388,17 @@ object SparkEntry {
         .toDF("tile_x", "tile_y", "n_segments", "total_km", "match_density", "zoom")
     }),
 
+    // S9d raster face: every tile's 16-bit-gray PNG is rendered from the
+    // per-pixel vertex counts, then DECODED BACK — the graded statistics
+    // travel through the real PNG bytes, so any encode/decode corruption
+    // flips the hash; the oracle recomputes pixel binning + stats straight
+    // from the raw vertex doubles (never sees an image)
+    "q54_raster_tiles" -> ((s, _) =>
+      graft.sources.RasterTiles.decodeStats(
+        graft.sources.RasterTiles.render(SmokeWorld(s).segments, zoom = 12))
+        .select(col("tile_x"), col("tile_y"), col("n_lit"),
+          col("px_sum"), col("max_px"), col("zoom"))),
+
     // S6: the tile scraper, end-to-end over a REAL wire-format tileset
     // served via file:// (the http(s) path is the same java.net.URL code) —
     // zoom-12 vertex cover, diff against the seeded destination listing,
@@ -854,6 +865,27 @@ object SparkEntry {
         | WHERE 12 >= (CASE WHEN networklevel <= 1 THEN 3 WHEN networklevel <= 2 THEN 10
         |   WHEN networklevel <= 3 THEN 12 ELSE 13 END))
         |GROUP BY 1, 2""".stripMargin,
+
+    // raster tiles: pixel binning recomputed from the raw vertex doubles
+    // (global pixel index floor'd ONCE, tile/pixel split with integer ops —
+    // mirrors RasterTiles.pixelCounts exactly), stats aggregated per tile;
+    // Spark's answer traveled through real PNG bytes, DuckDB's never does
+    "q54_raster_tiles" ->
+      """WITH px AS (
+        | SELECT CAST(least(greatest(floor((lon + 180.0)/360.0*1048576.0), 0), 1048575) AS BIGINT) AS gx,
+        |  CAST(least(greatest(floor((90.0 - lat)/180.0*1048576.0), 0), 1048575) AS BIGINT) AS gy
+        | FROM read_parquet('__AUX__/aux_segment_vertices/*.parquet')
+        | WHERE 12 >= (CASE WHEN networklevel <= 1 THEN 3 WHEN networklevel <= 2 THEN 10
+        |   WHEN networklevel <= 3 THEN 12 ELSE 13 END)
+        |), cnt AS (
+        | SELECT gx // 256 AS tile_x, gy // 256 AS tile_y,
+        |  gx % 256 AS px, gy % 256 AS py, count(*) AS c
+        | FROM px GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT tile_x, tile_y, count(*) AS n_lit,
+        | CAST(sum(least(c, 65535)) AS BIGINT) AS px_sum,
+        | CAST(max(least(c, 65535)) AS BIGINT) AS max_px, 12 AS zoom
+        |FROM cnt GROUP BY 1, 2""".stripMargin,
 
     // identical recomputation to q40: the tile-path refs must conflate to
     // the same segments the synth-path refs did
