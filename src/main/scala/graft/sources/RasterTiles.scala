@@ -158,8 +158,11 @@ object RasterTiles {
 
   /**
    * Single-file raster `.mbtiles` (format=png per the MBTiles spec) — the
-   * raster companion of [[Mvt.writeMbtiles]]. Streams tile rows through
-   * `toLocalIterator`; driver memory bounded by tile count.
+   * raster companion of [[Mvt.writeMbtiles]]. Tile rows arrive through
+   * `toLocalIterator`, but this is a DRIVER-side single-file export: the
+   * SQLite page builder holds the whole file in memory, so driver memory is
+   * bounded by total tile bytes (fine for the zoom-gated quick-look
+   * artifact; the scale sinks are the parquet/PBF/tile-directory paths).
    */
   def writeMbtiles(segments: Dataset[ConflationSegment], zoom: Int,
       path: String): Long = {
