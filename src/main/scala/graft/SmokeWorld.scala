@@ -165,6 +165,23 @@ object SmokeWorld {
 
     writeNdjsonFixture(spark, dir, force = true)
 
+    // q55: GENERATOR truth for the stoplights oracle — the Spark side reads
+    // these same rows through the XML fixture + the real S3 scan, so any
+    // scan corruption flips the hash; tags_json mirrors the psv line the
+    // reference task greps
+    locally {
+      import spark.implicits._
+      write(osmNodeRows.map { case (id, lon, lat, tags) =>
+        val t = Option(tags)
+        (id, lon, lat,
+          t.map(_.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")),
+          t.map(_.size),
+          t.flatMap(_.collectFirst { case ("highway", v) => v }))
+      }.toDF("id", "lon", "lat", "tags_json", "n_tags", "highway"),
+        dir, "aux_osm_nodes")
+    }
+    writeOsmNodesFixture(dir, force = true)
+
     // --- sf-dependent side tables ---------------------------------------
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     write(graft.operators.Dedup.simhashTable(docs, "doc_id", "text"),
@@ -303,6 +320,67 @@ object SmokeWorld {
         }
       (tiles, dest.getPath)
     }
+
+  // ---- raw-OSM stoplights fixture (q55) ------------------------------------
+
+  /**
+   * Deterministic raw-OSM node rows (id, lon, lat, tags — null tags ≈ the
+   * reference's `grep -v null` case) spanning the stoplights task's grep
+   * semantics (`tasks/osm_stoplights_shapefile/data_transforms:9-13`): tag
+   * VALUE containing "signal" (i%10∈{0,1}), tag KEY containing "signal"
+   * (i%10=2), tagged non-matches (3,5,6), untagged nodes (the rest).
+   * Coordinates are plain generator doubles; the XML fixture renders them
+   * via `Double.toString`, which `Double.parseDouble` round-trips EXACTLY,
+   * so the Spark answer (through the real S3 XML scan) and the DuckDB
+   * oracle (over the aux parquet of these same rows) compare bit-identical
+   * with no rounding anywhere.
+   */
+  def osmNodeRows: Seq[(String, Double, Double, Seq[(String, String)])] =
+    (0 until 1200).map { i =>
+      val id = (7000000L + i).toString
+      val lon = -73.95 + (i * 37 % 1000) / 1e4
+      val lat = 42.60 + (i * 53 % 1000) / 1e4
+      val tags: Seq[(String, String)] = (i % 10) match {
+        case 0 => Seq("highway" -> "traffic_signals")
+        case 1 => Seq("crossing" -> "traffic_signals", "button_operated" -> "yes")
+        case 2 => Seq("traffic_signals:direction" -> "forward")
+        case 3 => Seq("highway" -> "stop")
+        case 5 => Seq("name" -> "Main Street")
+        case 6 => Seq("highway" -> "crossing", "crossing" -> "marked")
+        case _ => null
+      }
+      (id, lon, lat, tags)
+    }
+
+  private val OsmNodesFixtureVersion = 1
+
+  /** Render [[osmNodeRows]] as a raw-OSM XML file for the real S3 scan;
+    * returns the file path. Idempotent via a versioned marker (same
+    * crash-safe marker-last protocol as [[writeNdjsonFixture]]). */
+  def writeOsmNodesFixture(dir: String = auxDir,
+      force: Boolean = false): String = synchronized {
+    val target = new java.io.File(s"$dir/aux_osm_xml")
+    val file = new java.io.File(target, "nodes.xml")
+    val marker = new java.io.File(target, s"_GRAFT_FIXTURE_V$OsmNodesFixtureVersion")
+    if (!force && marker.exists() && file.exists()) return file.getPath
+    target.mkdirs()
+    val sb = new StringBuilder("<osm version=\"0.6\">\n")
+    osmNodeRows.foreach { case (id, lon, lat, tags) =>
+      if (tags == null)
+        sb.append(s"""  <node id="$id" lon="$lon" lat="$lat"/>""").append('\n')
+      else {
+        sb.append(s"""  <node id="$id" lon="$lon" lat="$lat">""").append('\n')
+        tags.foreach { case (k, v) =>
+          sb.append(s"""    <tag k="$k" v="$v"/>""").append('\n')
+        }
+        sb.append("  </node>\n")
+      }
+    }
+    sb.append("</osm>\n")
+    java.nio.file.Files.writeString(file.toPath, sb.toString)
+    java.nio.file.Files.writeString(marker.toPath, s"v$OsmNodesFixtureVersion")
+    file.getPath
+  }
 
   /**
    * S1 ingest fixture: the smoke features as gzipped GeoJSON NDJSON, plus

@@ -399,6 +399,16 @@ object SparkEntry {
         .select(col("tile_x"), col("tile_y"), col("n_lit"),
           col("px_sum"), col("max_px"), col("zoom"))),
 
+    // stoplights task (tasks/osm_stoplights_shapefile): raw-OSM XML fixture
+    // → the real S3 scan → `grep -v null | grep signal` as an exists() over
+    // the tags map. The oracle recomputes the grep relationally over the
+    // GENERATOR rows (tags_json LIKE '%signal%'), never touching XML, so
+    // any scan corruption flips the hash; coordinates travel unrounded
+    // (Double.toString→parse is an exact round-trip)
+    "q55_stoplights" -> ((s, _) =>
+      graft.sources.Sources.trafficSignals(
+        graft.sources.Sources.loadRawOsmNodes(s, SmokeWorld.writeOsmNodesFixture()))),
+
     // S6: the tile scraper, end-to-end over a REAL wire-format tileset
     // served via file:// (the http(s) path is the same java.net.URL code) —
     // zoom-12 vertex cover, diff against the seeded destination listing,
@@ -886,6 +896,14 @@ object SparkEntry {
         | CAST(sum(least(c, 65535)) AS BIGINT) AS px_sum,
         | CAST(max(least(c, 65535)) AS BIGINT) AS max_px, 12 AS zoom
         |FROM cnt GROUP BY 1, 2""".stripMargin,
+
+    // stoplights: the reference's `grep -v null | grep signal` over the
+    // nodes dump, recomputed relationally over the generator rows — the
+    // Spark answer came through the XML fixture + real S3 scan instead
+    "q55_stoplights" ->
+      """SELECT id, lon, lat, n_tags, highway
+        |FROM read_parquet('__AUX__/aux_osm_nodes/*.parquet')
+        |WHERE tags_json IS NOT NULL AND tags_json LIKE '%signal%'""".stripMargin,
 
     // identical recomputation to q40: the tile-path refs must conflate to
     // the same segments the synth-path refs did

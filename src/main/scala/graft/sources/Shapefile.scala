@@ -159,6 +159,18 @@ object Shapefile {
     b.array()
   }
 
+  private def pointRecord(recNo: Int, x: Double, y: Double): Array[Byte] = {
+    val contentLen = 4 + 16 // type + x + y
+    val b = ByteBuffer.allocate(8 + contentLen)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(recNo)
+    b.putInt(contentLen / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(1) // Point
+    b.putDouble(x); b.putDouble(y)
+    b.array()
+  }
+
   /**
    * Single-file PolyLine export of (id: string, geometry: array<array<double>>)
    * rows: writes `<base>.shp`, `<base>.shx`, and a `<base>.dbf` with one
@@ -166,20 +178,39 @@ object Shapefile {
    */
   def writePolylines(rows: Seq[(String, Seq[Seq[Double]])], base: String): Unit = {
     val recs = rows.zipWithIndex.map { case ((_, coords), i) => shpRecord(i + 1, coords) }
-    val fileLen = 100 + recs.map(_.length).sum
     val allPts = rows.flatMap(_._2)
     val bbox = if (allPts.isEmpty) (0.0, 0.0, 0.0, 0.0)
       else (allPts.map(_.head).min, allPts.map(_(1)).min,
         allPts.map(_.head).max, allPts.map(_(1)).max)
+    writeFiles(recs, rows.map(_._1), 3, bbox, base)
+  }
+
+  /**
+   * Single-file Point export of (id, lon, lat) rows — the stoplights task's
+   * `ogr2ogr -nlt POINT` analog
+   * (`tasks/osm_stoplights_shapefile/data_transforms:24`). Same shp/shx/dbf
+   * layout and driver-side scope as [[writePolylines]], shape type 1.
+   */
+  def writePoints(rows: Seq[(String, Double, Double)], base: String): Unit = {
+    val recs = rows.zipWithIndex.map { case ((_, x, y), i) => pointRecord(i + 1, x, y) }
+    val bbox = if (rows.isEmpty) (0.0, 0.0, 0.0, 0.0)
+      else (rows.map(_._2).min, rows.map(_._3).min,
+        rows.map(_._2).max, rows.map(_._3).max)
+    writeFiles(recs, rows.map(_._1), 1, bbox, base)
+  }
+
+  private def writeFiles(recs: Seq[Array[Byte]], ids: Seq[String], shapeType: Int,
+      bbox: (Double, Double, Double, Double), base: String): Unit = {
+    val fileLen = 100 + recs.map(_.length).sum
     val shp = new java.io.FileOutputStream(base + ".shp")
     try {
-      shp.write(mainHeader(fileLen, 3, bbox))
+      shp.write(mainHeader(fileLen, shapeType, bbox))
       recs.foreach(shp.write)
     } finally shp.close()
     // .shx: same header (its own length), then (offset, contentLen) per record
     val shx = new java.io.FileOutputStream(base + ".shx")
     try {
-      shx.write(mainHeader(100 + 8 * recs.length, 3, bbox))
+      shx.write(mainHeader(100 + 8 * recs.length, shapeType, bbox))
       var off = 100
       recs.foreach { r =>
         val b = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
@@ -191,10 +222,10 @@ object Shapefile {
     val fieldLen = 64
     val headerSize = 32 + 32 + 1
     val recordSize = 1 + fieldLen
-    val dbf = ByteBuffer.allocate(headerSize + rows.length * recordSize + 1)
+    val dbf = ByteBuffer.allocate(headerSize + ids.length * recordSize + 1)
       .order(ByteOrder.LITTLE_ENDIAN)
     dbf.put(0x03.toByte); dbf.put(126.toByte); dbf.put(1.toByte); dbf.put(1.toByte)
-    dbf.putInt(rows.length)
+    dbf.putInt(ids.length)
     dbf.putShort(headerSize.toShort); dbf.putShort(recordSize.toShort)
     dbf.position(32)
     val name = "id".getBytes("US-ASCII")
@@ -202,7 +233,7 @@ object Shapefile {
     dbf.put('C'.toByte); dbf.position(dbf.position() + 4)
     dbf.put(fieldLen.toByte)
     dbf.position(headerSize - 1); dbf.put(0x0D.toByte)
-    rows.foreach { case (id, _) =>
+    ids.foreach { id =>
       dbf.put(' '.toByte)
       dbf.put(java.util.Arrays.copyOf(
         id.getBytes("US-ASCII"), fieldLen).map(b => if (b == 0) ' '.toByte else b))

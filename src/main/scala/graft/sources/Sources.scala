@@ -129,4 +129,24 @@ object Sources {
         element_at(col("tags"), "restriction").as("restriction"))
       .filter(col("viaNodeId").isNotNull)
   }
+
+  /**
+   * Stoplights task (`tasks/osm_stoplights_shapefile/data_transforms:7-14` →
+   * `src/nodes_dump_to_ndjson:12-18`): the reference pipes a raw nodes dump
+   * through `grep -v null | grep signal` — keep TAGGED nodes whose
+   * serialized tags mention "signal" in any key OR value (the grep runs
+   * over the whole psv line, so both match), shaped as point-feature rows
+   * for the POINT shapefile ([[Shapefile.writePoints]]) / GeoJSON export.
+   * Pure built-ins: the predicate is an `exists` over `map_entries`,
+   * codegen'd, no UDF; at scale it is a narrow filter that pushes the
+   * `tags IS NOT NULL` gate to the scan.
+   */
+  def trafficSignals(nodes: DataFrame): DataFrame =
+    nodes.filter(col("tags").isNotNull &&
+        exists(map_entries(col("tags")), e =>
+          e.getField("key").contains("signal") ||
+            e.getField("value").contains("signal")))
+      .select(col("id"), col("lon"), col("lat"),
+        size(col("tags")).as("n_tags"),
+        element_at(col("tags"), "highway").as("highway"))
 }
