@@ -132,7 +132,8 @@ object SmokeWorld {
       graft.functions.geo.final_bearing(col("coordinates")).as("seg_bearing"),
       element_at(col("nodeIds"), 1).as("start_node"),
       element_at(col("nodeIds"), -1).as("end_node"),
-      size(col("tmMeta")).as("n_tm")),
+      size(col("tmMeta")).as("n_tm"),
+      size(col("coordinates")).as("n_coords")),
       dir, "aux_segments")
 
     write(ConflationPipeline.restrictions(spark, NRoads).toDF(),

@@ -409,6 +409,36 @@ object SparkEntry {
       graft.sources.Sources.trafficSignals(
         graft.sources.Sources.loadRawOsmNodes(s, SmokeWorld.writeOsmNodesFixture()))),
 
+    // S8 + its inverse (bin/data_transforming/geojson_to_ndjson): the smoke
+    // segments exported as a FeatureCollection envelope, then pulled back
+    // apart through the multiLine scan — the graded rows travel through the
+    // real single-file GeoJSON bytes; the oracle recomputes the projected
+    // properties relationally from aux_segments and never sees JSON
+    "q56_fc_roundtrip" -> ((s, _) => {
+      val path = s"${SmokeWorld.auxDir}/tmp_geojson_fc"
+      graft.operators.Sinks.geojsonFeatureCollection(SmokeWorld(s).segments, path)
+      val feature = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("properties",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("split_seg",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("networklevel",
+              org.apache.spark.sql.types.DoubleType)))),
+        org.apache.spark.sql.types.StructField("geometry",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("coordinates",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.DoubleType))))))))
+      graft.sources.Sources.loadFeatureCollection(s, path, feature)
+        .select(col("properties.id").as("id"),
+          col("properties.split_seg").as("split_seg"),
+          col("properties.networklevel").as("networklevel"),
+          size(col("geometry.coordinates")).as("n_coords"))
+    }),
+
     // S6: the tile scraper, end-to-end over a REAL wire-format tileset
     // served via file:// (the http(s) path is the same java.net.URL code) —
     // zoom-12 vertex cover, diff against the seeded destination listing,
@@ -904,6 +934,15 @@ object SparkEntry {
       """SELECT id, lon, lat, n_tags, highway
         |FROM read_parquet('__AUX__/aux_osm_nodes/*.parquet')
         |WHERE tags_json IS NOT NULL AND tags_json LIKE '%signal%'""".stripMargin,
+
+    // FeatureCollection round-trip: the projected properties recomputed
+    // relationally — Spark's rows went out through the S8 envelope and
+    // back in through the multiLine scan
+    "q56_fc_roundtrip" ->
+      """SELECT "shstReferenceId" || ':' || "segmentIndex" AS id,
+        | "segmentIndex" || ':' || "totalSegments" AS split_seg,
+        | networklevel, n_coords
+        |FROM read_parquet('__AUX__/aux_segments/*.parquet')""".stripMargin,
 
     // identical recomputation to q40: the tile-path refs must conflate to
     // the same segments the synth-path refs did

@@ -141,6 +141,25 @@ object Sources {
    * codegen'd, no UDF; at scale it is a narrow filter that pushes the
    * `tags IS NOT NULL` gate to the scan.
    */
+  /**
+   * `geojson_to_ndjson` analog (`bin/data_transforming/geojson_to_ndjson:8`
+   * — a jq stream pulling `features[]` out of the envelope): a GeoJSON
+   * FeatureCollection → one row per feature, the inverse of the S8 sink.
+   * `multiLine` JSON parses one task per FILE — correct here because the
+   * envelope is an inherently monolithic single-file artifact (its writer
+   * is the same shape); a DIRECTORY of collections still fans out one task
+   * per file, and the splittable scale path is NDJSON (S1).
+   */
+  def loadFeatureCollection(spark: SparkSession, path: String,
+      feature: StructType): DataFrame =
+    spark.read.option("multiLine", value = true)
+      .schema(StructType(Seq(
+        StructField("type", StringType),
+        StructField("features", ArrayType(feature)))))
+      .json(path)
+      .select(explode(col("features")).as("feature"))
+      .select("feature.*")
+
   def trafficSignals(nodes: DataFrame): DataFrame =
     nodes.filter(col("tags").isNotNull &&
         exists(map_entries(col("tags")), e =>

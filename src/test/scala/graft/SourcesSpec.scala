@@ -190,4 +190,36 @@ class SourcesSpec extends AnyFunSuite {
     val readNodes = back.select(explode(col("nodes")).as("n")).distinct().count()
     assert(readNodes == sunkNodes)
   }
+
+  test("S8 inverse: FeatureCollection envelope pulls back apart into feature rows") {
+    val segments = graft.operators.ConflationPipeline.run(spark, 200, 20)
+    val path = Files.createTempDirectory("fc").toString + "/collection"
+    graft.operators.Sinks.geojsonFeatureCollection(segments, path)
+    val feature = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("properties",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.StringType)))),
+      org.apache.spark.sql.types.StructField("geometry",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("coordinates",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType))))))))
+    val back = Sources.loadFeatureCollection(spark, path, feature)
+    assert(back.count() == segments.count())
+    assert(back.filter(col("type") =!= "Feature").count() == 0)
+    // geometry doubles survive the JSON round-trip exactly
+    val wantFirst = segments.toDF()
+      .select(concat(col("shstReferenceId"), lit(":"), col("segmentIndex")).as("id"),
+        element_at(element_at(col("coordinates"), 1), 1).as("lon"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gotFirst = back
+      .select(col("properties.id"),
+        element_at(element_at(col("geometry.coordinates"), 1), 1))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotFirst == wantFirst)
+  }
 }
