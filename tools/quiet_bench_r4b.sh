@@ -40,12 +40,17 @@ for a in $(seq 1 60); do
   if ! healthy "$P"; then sleep 180; continue; fi
 
   rm -rf /dev/shm/spark-local; mkdir -p /dev/shm/spark-local
-  echo "[quiet_r4b] qbench q26/q27/q28" >&2
-  for q in q26_minhash_lsh q27_ngram_jaccard q28_simhash; do
-    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-      sbt -batch "runMain graft.QBench $q 3" 2>/dev/null \
-      | grep qbench | tee "/tmp/qbench_${q}.txt" >&2
-  done
+  # qbench reps only need capturing once per session: the host's healthy
+  # windows can be shorter than qbench+bench together, so on retries reuse
+  # the already-captured reps and spend the whole window on the bench
+  if [ ! -s /tmp/qbench_q28_simhash.txt ]; then
+    echo "[quiet_r4b] qbench q26/q27/q28" >&2
+    for q in q26_minhash_lsh q27_ngram_jaccard q28_simhash; do
+      SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+        sbt -batch "runMain graft.QBench $q 3" 2>/dev/null \
+        | grep qbench | tee "/tmp/qbench_${q}.txt" >&2
+    done
+  fi
 
   echo "[quiet_r4b] full bench sf0.1" >&2
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
