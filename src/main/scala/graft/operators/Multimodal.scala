@@ -187,10 +187,14 @@ object Multimodal {
       .withColumn("out_height", floor(col("height") * scale).cast("int"))
   }
 
-  /** Frame-sample stage: every `stride`-th frame index per media row. */
+  /** Frame-sample stage: every `stride`-th frame index per media row.
+    * Zero-frame rows (the real codec's `undecodable` sentinel) are dropped
+    * first: `sequence(0, -1)` would otherwise DESCEND to `[0, -1]` and claim
+    * frame 0 was sampled from a media with nothing to sample. */
   def frameSample(decoded: DataFrame, stride: Int): DataFrame =
-    decoded.select(col("media_id"),
-      posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("pos", "frame_idx")))
+    decoded.filter(col("n_frames") >= 1)
+      .select(col("media_id"),
+        posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("pos", "frame_idx")))
       .filter(col("frame_idx") % stride === 0)
       .groupBy("media_id").agg(collect_list("frame_idx").as("sampled_frames"),
         count(lit(1)).as("n_sampled"))

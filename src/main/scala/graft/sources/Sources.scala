@@ -131,17 +131,6 @@ object Sources {
   }
 
   /**
-   * Stoplights task (`tasks/osm_stoplights_shapefile/data_transforms:7-14` →
-   * `src/nodes_dump_to_ndjson:12-18`): the reference pipes a raw nodes dump
-   * through `grep -v null | grep signal` — keep TAGGED nodes whose
-   * serialized tags mention "signal" in any key OR value (the grep runs
-   * over the whole psv line, so both match), shaped as point-feature rows
-   * for the POINT shapefile ([[Shapefile.writePoints]]) / GeoJSON export.
-   * Pure built-ins: the predicate is an `exists` over `map_entries`,
-   * codegen'd, no UDF; at scale it is a narrow filter that pushes the
-   * `tags IS NOT NULL` gate to the scan.
-   */
-  /**
    * `geojson_to_ndjson` analog (`bin/data_transforming/geojson_to_ndjson:8`
    * — a jq stream pulling `features[]` out of the envelope): a GeoJSON
    * FeatureCollection → one row per feature, the inverse of the S8 sink.
@@ -160,6 +149,17 @@ object Sources {
       .select(explode(col("features")).as("feature"))
       .select("feature.*")
 
+  /**
+   * Stoplights task (`tasks/osm_stoplights_shapefile/data_transforms:7-14` →
+   * `src/nodes_dump_to_ndjson:12-18`): the reference pipes a raw nodes dump
+   * through `grep -v null | grep signal` — keep TAGGED nodes whose
+   * serialized tags mention "signal" in any key OR value (the grep runs
+   * over the whole psv line, so both match), shaped as point-feature rows
+   * for the POINT shapefile ([[Shapefile.writePoints]]) / GeoJSON export.
+   * Pure built-ins: the predicate is an `exists` over `map_entries`,
+   * codegen'd, no UDF; at scale it is a narrow filter that pushes the
+   * `tags IS NOT NULL` gate to the scan.
+   */
   def trafficSignals(nodes: DataFrame): DataFrame =
     nodes.filter(col("tags").isNotNull &&
         exists(map_entries(col("tags")), e =>

@@ -108,6 +108,14 @@ class TrainingOpsSpec extends AnyFunSuite {
     val bad = frames.select(explode(col("sampled_frames")).as("f"))
       .filter(col("f") % 2 =!= 0)
     assert(bad.count() == 0)
+    // a zero-frame row (the real codec's undecodable sentinel) samples
+    // NOTHING — sequence(0, -1) descends, so without the guard it would
+    // claim frame 0 of a media that has no frames
+    val withSentinel = decoded.select(col("media_id"), col("n_frames"))
+      .union(Seq((-1L, 0)).toDF("media_id", "n_frames"))
+    val sampled = Multimodal.frameSample(withSentinel, 2)
+    assert(sampled.filter(col("media_id") === -1L).count() == 0)
+    assert(sampled.count() == docs.count())
   }
 
   test("ngram df-cap: a stop-phrase shared by 1k docs can't go quadratic") {
