@@ -410,6 +410,13 @@ object Dedup {
       }.toDF(idCol, "simhash")
   }
 
+  /** Low-`width`-bits mask. 1L << 64 wraps to 1L (JVM shifts are mod 64), so
+    * the h=0 single 64-bit band needs the explicit all-ones branch — the
+    * wrapped mask of 0 put every distinct simhash in ONE band bucket
+    * (output still correct through the hamming filter, join quadratic). */
+  private[graft] def bandMask(width: Int): Long =
+    if (width >= 64) -1L else (1L << width) - 1L
+
   /** Band (start bit, width) split of 64 bits into `nBands` near-equal runs. */
   private[graft] def bandLayout(nBands: Int): Seq[(Int, Int)] =
     (0 until nBands).map { b =>
@@ -448,7 +455,7 @@ object Dedup {
     val reps = hashed.groupBy("simhash").agg(min(idCol).as(idCol))
     val layout = bandLayout(nBands)
     def bandVal(lo: Int, width: Int): Column =
-      shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1L))
+      shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(bandMask(width)))
     // uniform (bucket-index, bucket-hash) keys; hashing band values can only
     // MERGE buckets (more candidates), never lose a true pair
     val keyCols: Seq[Column] =

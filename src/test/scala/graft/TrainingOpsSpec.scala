@@ -191,6 +191,31 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture must contain pairs within hamming<=7")
   }
 
+  test("simhash band mask: the 64-bit band masks ALL bits (1L<<64 wraps)") {
+    assert(Dedup.bandMask(64) == -1L)
+    assert(Dedup.bandMask(8) == 0xFFL)
+    assert(Dedup.bandMask(1) == 1L)
+    // h=0 end-to-end: pairs are EXACTLY the equal-simhash groups, through
+    // the single 64-bit band (the wrapped mask of 0 still answered this
+    // correctly but via one all-reps bucket; the tokenizer treats digits as
+    // delimiters, so distinct tokens must differ in LETTERS)
+    val rows = (0 until 20).map(i =>
+      (i.toLong, s"alpha beta uniq${('a' + i).toChar}gram word$i")) :+
+      (100L, "dup text one two three") :+ (101L, "dup text one two three")
+    val df = rows.toDF("doc_id", "text")
+    val expected = Dedup.simhashTable(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).values.flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size)
+          yield (ids(i), ids(j), 0)
+      }.toSet
+    assert(expected((100L, 101L, 0)))
+    val out = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 0).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+      expected)
+  }
+
   test("simhash band layout covers all 64 bits without overlap") {
     for (nBands <- Seq(1, 4, 8, 17, 32)) {
       val layout = Dedup.bandLayout(nBands)
