@@ -439,6 +439,26 @@ object SparkEntry {
           size(col("geometry.coordinates")).as("n_coords"))
     }),
 
+    // T2 (bin/data_transforming/createConflationMapShapefile): the
+    // conflation output through a REAL multi-attribute shapefile — DBF
+    // field names spec-truncated to 10 chars (networklevel → networklev,
+    // the rename the reference performs with sed), numeric attributes as
+    // Double.toString so the read-back cast recovers the exact double, and
+    // geometry doubles travel as .shp binary. The oracle recomputes the
+    // projection relationally from aux_segments and never sees the files.
+    "q57_conflation_shapefile" -> ((s, _) => {
+      val dir = s"${SmokeWorld.auxDir}/tmp_conflation_shp"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      graft.sources.Shapefile.writeConflationShapefile(
+        SmokeWorld(s).segments, s"$dir/conflation")
+      graft.sources.Shapefile.read(s, dir)
+        .select(col("attributes")("id").as("id"),
+          col("attributes")("networklev").cast("double").as("networklevel"),
+          col("attributes")("road_class").as("road_class"),
+          col("attributes")("len_km").cast("double").as("len_km"),
+          size(col("geometry")).as("n_coords"))
+    }),
+
     // S6: the tile scraper, end-to-end over a REAL wire-format tileset
     // served via file:// (the http(s) path is the same java.net.URL code) —
     // zoom-12 vertex cover, diff against the seeded destination listing,
@@ -942,6 +962,17 @@ object SparkEntry {
       """SELECT "shstReferenceId" || ':' || "segmentIndex" AS id,
         | "segmentIndex" || ':' || "totalSegments" AS split_seg,
         | networklevel, n_coords
+        |FROM read_parquet('__AUX__/aux_segments/*.parquet')""".stripMargin,
+
+    // conflation-map shapefile: the same projection recomputed relationally
+    // while Spark's rows went out through real .shp/.dbf bytes and back in
+    // through the S5 scan — len_km is the identical IEEE subtraction of the
+    // identical parquet doubles, and the DBF text leg is exact because
+    // Double.toString is the shortest uniquely-parsing representation
+    "q57_conflation_shapefile" ->
+      """SELECT "shstReferenceId" || ':' || "segmentIndex" AS id,
+        | networklevel, "roadClass" AS road_class,
+        | "endDist" - "startDist" AS len_km, n_coords
         |FROM read_parquet('__AUX__/aux_segments/*.parquet')""".stripMargin,
 
     // identical recomputation to q40: the tile-path refs must conflate to

@@ -191,6 +191,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(readNodes == sunkNodes)
   }
 
+  test("T2: conflation shapefile round-trip — 10-char DBF names, exact survival") {
+    val segments = graft.operators.ConflationPipeline.run(spark, 200, 20)
+    val dir = Files.createTempDirectory("shp").toString
+    val n = graft.sources.Shapefile.writeConflationShapefile(segments, s"$dir/conflation")
+    val back = graft.sources.Shapefile.read(spark, dir).cache()
+    assert(n == segments.count() && back.count() == n)
+    // the dBase 10-char field-name cap produced the reference's sed rename
+    val keys = back.select(explode(map_keys(col("attributes"))).as("k"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(keys == Set("id", "networklev", "road_class", "len_km"))
+    // attributes AND geometry doubles survive exactly (DBF text leg via
+    // Double.toString→cast, shp leg as binary doubles)
+    val want = segments.toDF().select(
+      concat_ws(":", col("shstReferenceId"), col("segmentIndex")).as("id"),
+      col("networklevel"), (col("endDist") - col("startDist")).as("len_km"),
+      size(col("coordinates")).as("nc"),
+      element_at(element_at(col("coordinates"), 1), 1).as("lon1"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getInt(3), r.getDouble(4)))).toMap
+    val got = back.select(col("attributes")("id"),
+      col("attributes")("networklev").cast("double"),
+      col("attributes")("len_km").cast("double"),
+      size(col("geometry")),
+      element_at(element_at(col("geometry"), 1), 1))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(got == want)
+  }
+
   test("S8 inverse: FeatureCollection envelope pulls back apart into feature rows") {
     val segments = graft.operators.ConflationPipeline.run(spark, 200, 20)
     val path = Files.createTempDirectory("fc").toString + "/collection"
