@@ -40,6 +40,20 @@ object ScalingBench {
     finally spark.stop()
   }
 
+  /** Aggregate /proc/stat cpu jiffies (user nice system idle iowait irq
+    * softirq steal ...). Guest-visible host contention — steal — is the one
+    * signal that distinguishes "this box was quiet" from "the hypervisor
+    * taxed the run": the r4 6.4M re-certification measured local[2] 15%
+    * faster than r3's certified window with local[8] reproduced to 1.6%,
+    * an asymmetry only attributable to ambient host state during the
+    * 39-minute N leg. Recording the tax makes every future level
+    * self-documenting. */
+  private def cpuStat(): Array[Long] = {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+    finally src.close()
+  }
+
   def main(args: Array[String]): Unit = {
     // the JSON line below is f-interpolated; a comma-decimal default locale
     // would make it unparseable by the harness scripts
@@ -49,9 +63,16 @@ object ScalingBench {
     val nRoads = if (args.length > 2) args(2).toInt else 16000
     // warm-up (JIT + codegen caches) at small scale, same parallelism
     run(cpus, 2000, 200)
+    val s0 = cpuStat()
     val (segs, tiles, sec) = run(cpus, nPages, nRoads)
+    val s1 = cpuStat()
+    val d = s1.zip(s0).map { case (a, b) => (a - b).toDouble }
+    val total = math.max(d.sum, 1.0)
+    val stealPct = if (d.length > 7) d(7) / total * 100 else 0.0
+    val sysPct = if (d.length > 2) d(2) / total * 100 else 0.0
     println(f"""{"cpus":$cpus,"n_pages":$nPages,"n_roads":$nRoads,""" +
       f""""segments":$segs,"tiles":$tiles,"sec":$sec%.2f,""" +
-      f""""rows_per_sec":${segs / sec}%.1f,"tiles_per_sec":${tiles / sec}%.1f}""")
+      f""""rows_per_sec":${segs / sec}%.1f,"tiles_per_sec":${tiles / sec}%.1f,""" +
+      f""""steal_pct":$stealPct%.1f,"sys_pct":$sysPct%.1f}""")
   }
 }
