@@ -36,7 +36,7 @@ run / javaOptions ++= Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-XX:+AlwaysPreTouch",
-)
+) ++ sys.env.get("SPARK_GRAFT_GC_OPTS").toSeq.flatMap(_.trim.split("\\s+").toSeq)
 Test / javaOptions ++= Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "8g")}",
 )

@@ -36,9 +36,44 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_STAGE_REPORT")) addStageReport(spark)
     try Bench.conflationThroughput(spark, nPages, nRoads)
     finally spark.stop()
   }
+
+  /** Opt-in per-stage diagnostic (SPARK_GRAFT_STAGE_REPORT=1): stage wall
+    * time vs task-time median/max exposes where a parallelism level loses
+    * efficiency — taskMax >> taskMed is a straggler (partition skew), stage
+    * wall >> taskMax is scheduler/serial gap, and total-stage-wall far under
+    * job wall is driver-side serial work between stages. Diagnostic only;
+    * certified brackets run without it. */
+  private def addStageReport(spark: SparkSession): Unit =
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val tasks =
+        scala.collection.concurrent.TrieMap.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val buf = tasks.getOrElseUpdate(t.stageId, scala.collection.mutable.ArrayBuffer.empty[Long])
+        buf.synchronized { buf += t.taskInfo.duration }
+      }
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = s.stageInfo
+        val ds = tasks.remove(si.stageId).map(b => b.synchronized(b.toArray.sorted)).getOrElse(Array.empty[Long])
+        val wall = (for { sub <- si.submissionTime; c <- si.completionTime } yield c - sub).getOrElse(0L)
+        val med = if (ds.nonEmpty) ds(ds.length / 2) else 0L
+        val mx = if (ds.nonEmpty) ds.last else 0L
+        val sum = ds.sum
+        val tm = si.taskMetrics
+        val shRead = tm.shuffleReadMetrics.totalBytesRead / 1e6
+        val shWrite = tm.shuffleWriteMetrics.bytesWritten / 1e6
+        val spill = (tm.memoryBytesSpilled + tm.diskBytesSpilled) / 1e6
+        val gc = tm.jvmGCTime / 1000.0
+        System.err.println(
+          f"[stage] id=${si.stageId}%4d tasks=${ds.length}%5d wall=${wall / 1000.0}%8.2fs " +
+            f"taskMed=${med / 1000.0}%7.2fs taskMax=${mx / 1000.0}%7.2fs cpuSum=${sum / 1000.0}%8.2fs " +
+            f"shR=${shRead}%8.1fMB shW=${shWrite}%8.1fMB spill=${spill}%8.1fMB gc=${gc}%6.2fs " +
+            f"name=${si.name.takeWhile(_ != '\n')}")
+      }
+    })
 
   /** Aggregate /proc/stat cpu jiffies (user nice system idle iowait irq
     * softirq steal ...). Guest-visible host contention — steal — is the one

@@ -350,3 +350,45 @@ case class TileY(lat: Expression, zoom: Expression)
   protected override def withNewChildrenInternal(l: Expression, r: Expression): TileY =
     copy(l, r)
 }
+
+/**
+ * Fused candidate scoring (the conflation matcher's hot pair kernel):
+ * locate both feature endpoints along the reference, apply the
+ * bidirectional + overlap gates, slice the reference, and compute the
+ * directed-Hausdorff score — one [[GeoFn.matchScore]] call per pair
+ * instead of the composed locate_along ×2 + line_slice_along +
+ * directed_hausdorff_km chain (which re-converts the reference geometry
+ * per call; the allocation traffic measured as the stage's 1.68×
+ * 2→8-thread CPU inflation, BENCH.md r4). NULL when a gate drops the
+ * pair, so the caller filters on isnotnull; results are bit-identical to
+ * the composed chain (MatchScoreSpec pins equivalence).
+ */
+case class MatchScore(rGeom: Expression, fGeom: Expression, revOk: Expression,
+    minOverlapKm: Double, maxHausdorffKm: Double)
+    extends TernaryExpression {
+  override def first: Expression = rGeom
+  override def second: Expression = fGeom
+  override def third: Expression = revOk
+  override def dataType: DataType = MatchScore.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "match_score"
+  protected override def nullSafeEval(r: Any, f: Any, rev: Any): Any =
+    GeoFn.matchScore(r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      f.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      rev.asInstanceOf[Boolean], minOverlapKm, maxHausdorffKm)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, f, rev) => s"""
+      ${ev.value} = graft.functions.GeoFn.matchScore($r, $f, $rev,
+        ${minOverlapKm}D, ${maxHausdorffKm}D);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  protected override def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): MatchScore =
+    copy(a, b, c)
+}
+
+object MatchScore {
+  /** struct<score: double, geometry: array<array<double>>> */
+  val schema: DataType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("geometry", ExprHelp.lineType, nullable = false)))
+}

@@ -91,4 +91,30 @@ object GeoFn {
   def tileX(lon: Double, zoom: Int): Long = Cell.tile(lon, 0.0, zoom)._2
 
   def tileY(lat: Double, zoom: Int): Long = Cell.tile(0.0, lat, zoom)._3
+
+  /** Fused candidate scoring ([[Geo.matchScoreFlat]]): one flat conversion
+    * per geometry, shared segment-length pass, early-exit threshold. Null
+    * when any gate drops the pair; else struct(score, geometry). */
+  def matchScore(r: ArrayData, f: ArrayData, revOk: Boolean,
+      minOverlapKm: Double, maxHausdorffKm: Double): org.apache.spark.sql.catalyst.InternalRow = {
+    val rn = r.numElements()
+    val rx = new Array[Double](rn); val ry = new Array[Double](rn)
+    var i = 0
+    while (i < rn) { val p = r.getArray(i); rx(i) = p.getDouble(0); ry(i) = p.getDouble(1); i += 1 }
+    val fn = f.numElements()
+    val fx = new Array[Double](fn); val fy = new Array[Double](fn)
+    i = 0
+    while (i < fn) { val p = f.getArray(i); fx(i) = p.getDouble(0); fy(i) = p.getDouble(1); i += 1 }
+    val res = Geo.matchScoreFlat(rx, ry, fx, fy, revOk, minOverlapKm, maxHausdorffKm)
+    if (res == null) return null
+    val m = res.line
+    val mn = m.length / 2
+    val pts = new Array[Any](mn)
+    i = 0
+    while (i < mn) { pts(i) = new GenericArrayData(Array(m(2 * i), m(2 * i + 1))); i += 1 }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    row.update(0, res.score)
+    row.update(1, new GenericArrayData(pts))
+    row
+  }
 }

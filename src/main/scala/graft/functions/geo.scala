@@ -61,6 +61,14 @@ object geo {
   def directed_hausdorff_km(a: Column, b: Column): Column =
     toCol(DirectedHausdorff(toExpr(a), toExpr(b)))
 
+  /** Fused matcher scoring: struct(score, geometry) or NULL when gated out.
+    * See [[MatchScore]]; bit-identical to the composed locate/slice/
+    * Hausdorff chain it replaces in ConflationPipeline.scoredCandidates. */
+  def match_score(rGeom: Column, fGeom: Column, revOk: Column,
+      minOverlapKm: Double, maxHausdorffKm: Double): Column =
+    toCol(MatchScore(toExpr(rGeom), toExpr(fGeom), toExpr(revOk),
+      minOverlapKm, maxHausdorffKm))
+
   def tile_x(lon: Column, zoom: Column): Column = toCol(TileX(toExpr(lon), toExpr(zoom)))
 
   def tile_y(lat: Column, zoom: Column): Column = toCol(TileY(toExpr(lat), toExpr(zoom)))

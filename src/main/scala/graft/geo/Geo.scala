@@ -296,6 +296,177 @@ object Geo {
   def hausdorffKm(a: Array[Array[Double]], b: Array[Array[Double]]): Double =
     math.max(directedHausdorffKm(a, b), directedHausdorffKm(b, a))
 
+  // ---------------------------------------------------------------------
+  // Fused candidate-scoring kernel over FLAT coordinate arrays.
+  //
+  // Replaces the composed chain locate_along ×2 + line_slice_along +
+  // directed_hausdorff_km in the conflation matcher's hottest stage. The
+  // composed form re-converted the reference polyline to
+  // Array[Array[Double]] once per call — 3|r|+|m|+|f| two-double
+  // allocations per candidate pair — and the resulting allocator/cache
+  // traffic was the measured source of the stage's 1.68× CPU inflation
+  // between 2 and 8 local threads (N-vs-4N stage profile, BENCH.md r4).
+  // This kernel converts each geometry once, shares one per-segment
+  // length/prefix-sum pass between the two locates and the slice, and
+  // early-exits the Hausdorff threshold test; every retained value is
+  // bit-identical to the composed chain (same formulas, same accumulation
+  // order, same comparison semantics — pinned by MatchScoreSpec).
+  // ---------------------------------------------------------------------
+
+  /** Survivor result: exact directed-Hausdorff score + interleaved
+    * [x0,y0,x1,y1,...] match geometry (the lineSliceAlong output). */
+  final class MatchResult(val score: Double, val line: Array[Double])
+
+  /** Point-to-segment distance in the same local equirectangular frame as
+    * [[nearestPointOnLine]] — identical arithmetic, flat inputs. */
+  @inline private def segDistKm(ax: Double, ay: Double, bx: Double, by: Double,
+      lon: Double, lat: Double): Double = {
+    val k = math.cos(((ay + by) / 2.0) * Deg2Rad)
+    val dx = (bx - ax) * k; val dy = by - ay
+    val px = (lon - ax) * k; val py = lat - ay
+    val d2 = dx * dx + dy * dy
+    val t = if (d2 == 0.0) 0.0 else math.max(0.0, math.min(1.0, (px * dx + py * dy) / d2))
+    val cx = ax + (bx - ax) * t; val cy = ay + (by - ay) * t
+    haversineKm(lon, lat, cx, cy)
+  }
+
+  /** Distance-along of the nearest point — [[locateAlong]] with the
+    * segment-length pass hoisted out (seg/cum precomputed by the caller in
+    * the same sequential order, so `cum(i-1)` equals locateAlong's
+    * `traveled` bit-for-bit). */
+  private def locateFlat(rx: Array[Double], ry: Array[Double],
+      seg: Array[Double], cum: Array[Double], lon: Double, lat: Double): Double = {
+    var bestAlong = 0.0
+    var bestDist = Double.MaxValue
+    var i = 1
+    while (i < rx.length) {
+      val ax = rx(i - 1); val ay = ry(i - 1); val bx = rx(i); val by = ry(i)
+      val k = math.cos(((ay + by) / 2.0) * Deg2Rad)
+      val dx = (bx - ax) * k; val dy = by - ay
+      val px = (lon - ax) * k; val py = lat - ay
+      val d2 = dx * dx + dy * dy
+      val t = if (d2 == 0.0) 0.0 else math.max(0.0, math.min(1.0, (px * dx + py * dy) / d2))
+      val cx = ax + (bx - ax) * t; val cy = ay + (by - ay) * t
+      val dist = haversineKm(lon, lat, cx, cy)
+      if (dist < bestDist) { bestDist = dist; bestAlong = cum(i - 1) + seg(i) * t }
+      i += 1
+    }
+    bestAlong
+  }
+
+  /** [[lineSliceAlong]] over flat arrays with precomputed segment lengths;
+    * same vertex-emission logic including the post-loop degenerate fix
+    * (and, like the original, NO degenerate fix on the early-return path). */
+  private def sliceFlat(rx: Array[Double], ry: Array[Double], seg: Array[Double],
+      startKm: Double, stopKm: Double): Array[Double] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofDouble
+    var n = 0
+    var traveled = 0.0
+    var started = startKm <= 0.0
+    if (started) { out += rx(0); out += ry(0); n = 1 }
+    var i = 1
+    while (i < rx.length) {
+      val endOfSeg = traveled + seg(i)
+      if (!started && endOfSeg > startKm) {
+        val b = bearing(rx(i - 1), ry(i - 1), rx(i), ry(i))
+        val p = destination(rx(i - 1), ry(i - 1), startKm - traveled, b)
+        out += p(0); out += p(1); n += 1
+        started = true
+      }
+      if (started) {
+        if (endOfSeg >= stopKm) {
+          if (stopKm > traveled) {
+            val b = bearing(rx(i - 1), ry(i - 1), rx(i), ry(i))
+            val p = destination(rx(i - 1), ry(i - 1), stopKm - traveled, b)
+            out += p(0); out += p(1)
+          } else {
+            out += rx(i - 1); out += ry(i - 1)
+          }
+          return out.result()
+        }
+        out += rx(i); out += ry(i); n += 1
+      }
+      traveled = endOfSeg
+      i += 1
+    }
+    if (n < 2) {
+      val lx = rx(rx.length - 1); val ly = ry(ry.length - 1)
+      out += lx; out += ly; n += 1
+      if (n < 2) { out += lx; out += ly }
+    }
+    out.result()
+  }
+
+  /**
+   * Fused scoring of one candidate (reference r, feature f) pair:
+   *
+   *   s0 = locateAlong(r, f.head);  e0 = locateAlong(r, f.last)
+   *   rev = revOk && s0 - e0 > minOverlapKm          (bidirectional gate)
+   *   (s, e) = if (rev) (e0, s0) else (s0, e0)
+   *   null unless e - s > minOverlapKm               (overlap gate)
+   *   m = lineSliceAlong(r, s, e)
+   *   null unless directedHausdorffKm(m, f) ≤ maxHausdorffKm
+   *   → MatchResult(score, m)
+   *
+   * The threshold runs first as a prepass with per-vertex early exit
+   * (max-min ≤ t ⟺ every m-vertex has some f-segment within t, so the
+   * break cannot change the boolean); survivors then pay the exact score,
+   * whose value equals directedHausdorffKm's (min and max over the same
+   * distance sets are order-independent).
+   */
+  def matchScoreFlat(rx: Array[Double], ry: Array[Double],
+      fx: Array[Double], fy: Array[Double], revOk: Boolean,
+      minOverlapKm: Double, maxHausdorffKm: Double): MatchResult = {
+    val rn = rx.length; val fn = fx.length
+    if (rn == 0 || fn == 0) return null
+    val seg = new Array[Double](rn)
+    val cum = new Array[Double](rn)
+    var i = 1
+    while (i < rn) {
+      seg(i) = haversineKm(rx(i - 1), ry(i - 1), rx(i), ry(i))
+      cum(i) = cum(i - 1) + seg(i)
+      i += 1
+    }
+    val s0 = locateFlat(rx, ry, seg, cum, fx(0), fy(0))
+    val e0 = locateFlat(rx, ry, seg, cum, fx(fn - 1), fy(fn - 1))
+    val rev = revOk && (s0 - e0 > minOverlapKm)
+    val sRaw = if (rev) e0 else s0
+    val eRaw = if (rev) s0 else e0
+    if (!(eRaw - sRaw > minOverlapKm)) return null
+    val m = sliceFlat(rx, ry, seg, sRaw, eRaw)
+    val mn = m.length / 2
+    // threshold prepass: reject at the first m-vertex with no f-segment
+    // within maxHausdorffKm; accept a vertex at its first segment within
+    i = 0
+    while (i < mn) {
+      val lon = m(2 * i); val lat = m(2 * i + 1)
+      var ok = false
+      var j = 1
+      while (j < fn && !ok) {
+        ok = segDistKm(fx(j - 1), fy(j - 1), fx(j), fy(j), lon, lat) <= maxHausdorffKm
+        j += 1
+      }
+      if (!ok) return null
+      i += 1
+    }
+    // exact score (survivors only) — value-identical to directedHausdorffKm
+    var worst = 0.0
+    i = 0
+    while (i < mn) {
+      val lon = m(2 * i); val lat = m(2 * i + 1)
+      var best = Double.MaxValue
+      var j = 1
+      while (j < fn) {
+        val d = segDistKm(fx(j - 1), fy(j - 1), fx(j), fy(j), lon, lat)
+        if (d < best) best = d
+        j += 1
+      }
+      if (best > worst) worst = best
+      i += 1
+    }
+    new MatchResult(worst, m)
+  }
+
   /** Discrete Fréchet distance in km (dynamic programming, O(|a||b|)).
     * Order-sensitive: distinguishes direction, unlike Hausdorff. */
   def frechetKm(a: Array[Array[Double]], b: Array[Array[Double]]): Double = {

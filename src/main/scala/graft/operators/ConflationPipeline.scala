@@ -201,41 +201,38 @@ object ConflationPipeline {
 
   /** Refine candidates into scored matches (one row per retained pair). */
   def scoredCandidates(candidates: DataFrame, hausdorffKm: Double = MatchHausdorffKm): DataFrame = {
-    val fFirst = element_at($col("f_geom"), 1)
-    val fLast = element_at($col("f_geom"), -1)
     // the candidate join's output is hash-partitioned by cell — hot urban
     // cells skew it badly; spread the expensive geometry scoring uniformly
     // over the pair key before computing (north rule: explicit salting /
     // AQE-aware repartitioning for skewed cells)
     val parts = candidates.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // Fused pair kernel: endpoint projection (s0/e0), the direction gate
+    // (opposite-direction refs project inverted, s0 > e0: directed target
+    // maps drop those; bidirectional RIS-style features legitimately ride
+    // the opposite reference — accepted with the interval swapped so the
+    // slice stays in reference direction), the overlap gate, the slice,
+    // and the one-sided Hausdorff score (the ref slice must lie along the
+    // feature; the feature may span several reference chunks, so the
+    // symmetric distance is unbounded) — one expression, NULL = gated out.
+    // Bit-identical to the composed locate/slice/Hausdorff chain
+    // (MatchScoreSpec) but converts each geometry once and early-exits the
+    // threshold test: the composed chain's per-call conversions were the
+    // measured allocator bottleneck of this stage (BENCH.md r4).
     val scored = candidates
       .repartition(parts, $col("feature_id"), $col("ref_id"))
-      .withColumn("s0", locate_along($col("r_geom"),
-        element_at(fFirst, 1), element_at(fFirst, 2)))
-      .withColumn("e0", locate_along($col("r_geom"),
-        element_at(fLast, 1), element_at(fLast, 2)))
-      // direction gate: opposite-direction refs project inverted (s0 > e0).
-      // Directed target maps drop those; bidirectional (RIS-style) features
-      // legitimately ride the opposite reference — accept with the interval
-      // swapped, so the slice stays in reference direction.
-      .withColumn("rev", $col("targetMap").rlike(UndirectedTmPattern) &&
-        ($col("s0") - $col("e0") > lit(MinOverlapKm)))
-      .withColumn("s_raw", when($col("rev"), $col("e0")).otherwise($col("s0")))
-      .withColumn("e_raw", when($col("rev"), $col("s0")).otherwise($col("e0")))
-      .filter($col("e_raw") - $col("s_raw") > lit(MinOverlapKm))
-      .withColumn("match_geom", line_slice_along($col("r_geom"), $col("s_raw"), $col("e_raw")))
-      // one-sided: the ref slice must lie along the feature (the feature may
-      // span several reference chunks, so the symmetric distance is unbounded)
-      .withColumn("score", directed_hausdorff_km($col("match_geom"), $col("f_geom")))
-      .filter($col("score") <= lit(hausdorffKm))
+      .withColumn("msc", match_score(
+        $col("r_geom"), $col("f_geom"),
+        $col("targetMap").rlike(UndirectedTmPattern),
+        MinOverlapKm, hausdorffKm))
+      .filter($col("msc").isNotNull)
     scored.select(
       $col("ref_id").as("shstReferenceId"),
       $col("fromIntersectionId").as("shstFromIntersectionId"),
       $col("toIntersectionId").as("shstToIntersectionId"),
       $col("targetMap"), $col("targetMapId"),
       $col("targetMapIsPrimary"), $col("targetMapNetHrchyRank"),
-      $col("score"),
-      $col("match_geom").as("geometry"))
+      $col("msc.score").as("score"),
+      $col("msc.geometry").as("geometry"))
   }
 
   // ------------------------------------------------------------ conflation
