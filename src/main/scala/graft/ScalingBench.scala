@@ -24,7 +24,7 @@ object ScalingBench {
     if (localDir.startsWith("/dev/shm")) {
       val d = new java.io.File(localDir); d.mkdirs(); Bench.wipeStale(d)
     }
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled",
@@ -34,7 +34,13 @@ object ScalingBench {
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra conf pass-through for measurement experiments, e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.memory.offHeap.enabled=true;spark.memory.offHeap.size=16g"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) builder.config(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.contains("SPARK_GRAFT_STAGE_REPORT")) addStageReport(spark)
     try Bench.conflationThroughput(spark, nPages, nRoads)

@@ -117,11 +117,22 @@ object ConflationKernel {
       matchCoords: Array[Array[Double]]): Option[(Double, Double, Double, Double)] = {
     val mStart = matchCoords(0)
     val mEnd = matchCoords(matchCoords.length - 1)
-    val rawStart = Geo.locateAlong(refCoords, mStart(0), mStart(1))
-    val matchLen = Geo.lengthKm(matchCoords)
+    rawOffsetsFromEndpoints(refCoords, refLenKm, mStart(0), mStart(1),
+      mEnd(0), mEnd(1), Geo.lengthKm(matchCoords))
+  }
+
+  /** [[rawOffsets]] from the match-geometry SUMMARY (endpoints + geodesic
+    * length) — all the kernel ever reads of a match geometry. Lets the
+    * central conflation shuffle carry 5 doubles per match instead of the
+    * full polyline (the summary is computed map-side with the same
+    * Geo.lengthKm / element_at semantics, so values are bit-identical). */
+  def rawOffsetsFromEndpoints(refCoords: Array[Array[Double]], refLenKm: Double,
+      msLon: Double, msLat: Double, meLon: Double, meLat: Double,
+      matchLen: Double): Option[(Double, Double, Double, Double)] = {
+    val rawStart = Geo.locateAlong(refCoords, msLon, msLat)
     val sliceStart = rawStart + matchLen / 2
     val rest = Geo.lineSliceAlong(refCoords, sliceStart, Double.PositiveInfinity)
-    val rawEndOnRest = Geo.locateAlong(rest, mEnd(0), mEnd(1))
+    val rawEndOnRest = Geo.locateAlong(rest, meLon, meLat)
     val rawEnd = sliceStart + rawEndOnRest
     if (rawStart > rawEnd) {
       // reference drops if inversion is small, throws otherwise — we drop
@@ -324,12 +335,44 @@ object ConflationKernel {
     Some(removeOverlaps(out.toSeq, threshold = 0, parityInputOrder))
   }
 
-  /** Full per-reference kernel: raw offsets → snap → per-target-map overlap
-    * removal → union → split (src/conflation/run:44-106 control flow). */
+  /** Match-geometry summary — everything [[conflateReference]] reads of a
+    * match polyline: its endpoints and geodesic length (see
+    * [[rawOffsetsFromEndpoints]]). */
+  final case class MatchGeom(msLon: Double, msLat: Double,
+      meLon: Double, meLat: Double, lenKm: Double)
+
+  object MatchGeom {
+    /** Summary of a full polyline — same element_at/lengthKm semantics the
+      * map-side Columns compute, so either construction path is bit-equal. */
+    def of(coords: Array[Array[Double]]): MatchGeom = {
+      val s = coords(0); val e = coords(coords.length - 1)
+      MatchGeom(s(0), s(1), e(0), e(1), Geo.lengthKm(coords))
+    }
+  }
+
+  /** Full per-reference kernel over full match polylines (spec/back-compat
+    * surface; the pipeline ships [[MatchGeom]] summaries instead — the
+    * central shuffle then carries 5 doubles per match, not the polyline). */
   def conflateReference(
       refCoords: Array[Array[Double]],
       waySectionNodeIds: Seq[Seq[String]],
       matchesByTargetMap: Seq[(String, Seq[(Interval, Array[Array[Double]])])],
+      parityInputOrder: Boolean = true,
+      parityRound6: Boolean = false,
+      waySections: Seq[(String, Seq[String], String, Boolean)] = Nil,
+      direction: Int = 1): Vector[SplitSegment] =
+    conflateReferenceSummarized(refCoords, waySectionNodeIds,
+      matchesByTargetMap.map { case (tm, ms) =>
+        tm -> ms.map { case (meta, mCoords) => (meta, MatchGeom.of(mCoords)) }
+      },
+      parityInputOrder, parityRound6, waySections, direction)
+
+  /** Full per-reference kernel: raw offsets → snap → per-target-map overlap
+    * removal → union → split (src/conflation/run:44-106 control flow). */
+  def conflateReferenceSummarized(
+      refCoords: Array[Array[Double]],
+      waySectionNodeIds: Seq[Seq[String]],
+      matchesByTargetMap: Seq[(String, Seq[(Interval, MatchGeom)])],
       parityInputOrder: Boolean = true,
       parityRound6: Boolean = false,
       waySections: Seq[(String, Seq[String], String, Boolean)] = Nil,
@@ -340,8 +383,9 @@ object ConflationKernel {
     if (vertsOpt.isEmpty) return Vector.empty
     val verts = vertsOpt.get
     val perTm: Seq[Interval] = matchesByTargetMap.flatMap { case (_, ms) =>
-      val offsets = ms.flatMap { case (meta, mCoords) =>
-        rawOffsets(refCoords, refLen, mCoords).flatMap { case (p, n, _, _) =>
+      val offsets = ms.flatMap { case (meta, mg) =>
+        rawOffsetsFromEndpoints(refCoords, refLen, mg.msLon, mg.msLat,
+          mg.meLon, mg.meLat, mg.lenKm).flatMap { case (p, n, _, _) =>
           snapNodes(verts, refLen, p, n).map { case (p2, n2, s2, e2) =>
             meta.copy(poff = p2, noff = n2, startDist = s2, endDist = e2)
           }

@@ -262,7 +262,11 @@ object ConflationPipeline {
       targetMapIsPrimary: Boolean,
       targetMapNetHrchyRank: Int,
       megaDir: Option[String],
-      geometry: Seq[Seq[Double]])
+      // match-geometry SUMMARY (endpoints + geodesic length) — all the
+      // kernel reads of a match polyline; computed map-side before the
+      // central shuffle so the shuffle carries 5 doubles, not the polyline
+      msLon: Double, msLat: Double, meLon: Double, meLat: Double,
+      mLenKm: Double)
 
   /**
    * J2 (the central join) + per-reference kernel. One shuffle on
@@ -285,7 +289,12 @@ object ConflationPipeline {
       .agg(collect_list(struct(
         $col("targetMap"), $col("targetMapId"), $col("matchedTargetMapId"),
         $col("matchedTargetMapMicroIdx"), $col("targetMapIsPrimary"),
-        $col("targetMapNetHrchyRank"), $col("megaDir"), $col("geometry"))).as("ms"))
+        $col("targetMapNetHrchyRank"), $col("megaDir"),
+        element_at(element_at($col("geometry"), 1), 1).as("msLon"),
+        element_at(element_at($col("geometry"), 1), 2).as("msLat"),
+        element_at(element_at($col("geometry"), -1), 1).as("meLon"),
+        element_at(element_at($col("geometry"), -1), 2).as("meLat"),
+        geodesic_length_km($col("geometry")).as("mLenKm"))).as("ms"))
     val joined = refsDs.toDF()
       .select($col("shstReferenceId"), $col("geometryId"), $col("fromIntersectionId"),
         $col("toIntersectionId"), $col("oneWay"), $col("isForward"), $col("roadClass"),
@@ -303,10 +312,11 @@ object ConflationPipeline {
         tm -> ms.sortBy(m => (m.targetMapId, m.matchedTargetMapMicroIdx)).map { m =>
           (ConflationKernel.Interval(m.targetMap, m.targetMapId, m.matchedTargetMapId,
             m.matchedTargetMapMicroIdx, m.targetMapIsPrimary, m.targetMapNetHrchyRank,
-            0, 0, 0, 0), m.geometry.map(_.toArray).toArray)
+            0, 0, 0, 0),
+            ConflationKernel.MatchGeom(m.msLon, m.msLat, m.meLon, m.meLat, m.mLenKm))
         }
       }
-      val segs = ConflationKernel.conflateReference(refCoords,
+      val segs = ConflationKernel.conflateReferenceSummarized(refCoords,
         row.sections.map(_.nodeIds), byTm,
         waySections = row.sections.map(w => (w.wayId, w.nodeIds, w.roadClass, w.oneWay)),
         direction = if (row.isForward) 1 else 0)

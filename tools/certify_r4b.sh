@@ -1,0 +1,128 @@
+#!/bin/bash
+# Round-4b certification of the NORTH-RULE criterion bracket (6.4M pages /
+# 256k roads, N=local[2] vs 4N=local[8], fresh JVM per level) on the final
+# round-4 binary (fused match_score + summarized conflate shuffle).
+#
+# Differences from recert_6p4M_loop.sh, motivated by this round's data:
+#  - BOOT-RELATIVE probe gate: the VM reboots between sessions and its
+#    absolute probe level moves (15.5s one boot, 18.3s the next at the same
+#    code), so a fixed <16.2s gate either never certifies or under-detects.
+#    The gate is median-of-3 startup probes ±8%.
+#  - MEDIAN OF 3 CLEAN BRACKETS per level: single local[8] readings on this
+#    box swing 106–135s (G1 full-heap variance + ambient), wider than the
+#    criterion margin. Level order alternates 2,8 / 8,2 across brackets to
+#    decorrelate slow host drift.
+# Self-commits SCALING_r4B.json on success.
+set -u
+cd "$(dirname "$0")/.."
+export SPARK_GRAFT_AQE=false
+export SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-local
+PAGES=${PAGES:-6400000}
+ROADS=${ROADS:-256000}
+BRACKETS=${BRACKETS:-3}
+
+clean_shm() { rm -rf /dev/shm/spark-local; mkdir -p /dev/shm/spark-local; }
+clean_shm
+
+probe() {
+  sbt -batch "runMain graft.ScalingBench 32 400000 16000" 2>/dev/null \
+    | grep -oE '\{"cpus".*\}' | tail -1 \
+    | python3 -c "
+import json, sys
+try:
+    print(json.load(sys.stdin)['sec'])
+except Exception:
+    print(99999)
+"
+}
+level() {
+  clean_shm
+  sbt -batch "runMain graft.ScalingBench $1 $PAGES $ROADS" 2>/dev/null \
+    | grep -oE '\{"cpus".*\}' | tail -1
+}
+
+# boot baseline: median of 3 probes
+P1=$(probe); P2=$(probe); P3=$(probe)
+BASE=$(python3 -c "print(sorted([float('$P1'),float('$P2'),float('$P3')])[1])")
+echo "[cert4b] $(date +%H:%M) boot probes: $P1 $P2 $P3 -> baseline $BASE" >&2
+if python3 -c "import sys; sys.exit(0 if float('$BASE') < 30 else 1)"; then :; else
+  echo "[cert4b] baseline insane, aborting" >&2; exit 1
+fi
+healthy() { python3 -c "import sys; sys.exit(0 if float('$1') <= float('$BASE')*1.08 else 1)"; }
+
+RESULTS="[]"
+n_clean=0
+for attempt in $(seq 1 24); do
+  P=$(probe)
+  echo "[cert4b] $(date +%H:%M) pre-probe $attempt: ${P}s" >&2
+  if ! healthy "$P"; then sleep 180; continue; fi
+  if [ $((n_clean % 2)) -eq 0 ]; then ORDER="2 8"; else ORDER="8 2"; fi
+  R2=""; R8=""
+  for lvl in $ORDER; do
+    R=$(level "$lvl")
+    echo "[cert4b] $(date +%H:%M) local[$lvl]: $R" >&2
+    if [ "$lvl" = 2 ]; then R2=$R; else R8=$R; fi
+  done
+  clean_shm
+  PIMM=$(probe)
+  echo "[cert4b] $(date +%H:%M) post-probe: ${PIMM}s" >&2
+  PPOST=$PIMM
+  if ! healthy "$PIMM"; then
+    sleep 180
+    PPOST=$(probe)
+    echo "[cert4b] $(date +%H:%M) settled post-probe: ${PPOST}s" >&2
+  fi
+  if [ -n "$R2" ] && [ -n "$R8" ] && healthy "$PPOST"; then
+    RESULTS=$(python3 - "$RESULTS" "$R2" "$R8" "$P" "$PIMM" "$PPOST" "$ORDER" <<'PY'
+import json, sys
+acc = json.loads(sys.argv[1])
+r2, r8 = json.loads(sys.argv[2]), json.loads(sys.argv[3])
+assert r2["segments"] == r8["segments"] and r2["tiles"] == r8["tiles"], (r2, r8)
+acc.append({"order": sys.argv[7], "probe_pre": float(sys.argv[4]),
+            "probe_post_immediate": float(sys.argv[5]),
+            "probe_post_settled": float(sys.argv[6]),
+            "N_local2": r2, "4N_local8": r8,
+            "efficiency": round(r2["sec"] / r8["sec"] / 4.0, 3)})
+print(json.dumps(acc))
+PY
+)
+    n_clean=$((n_clean + 1))
+    echo "[cert4b] $(date +%H:%M) clean bracket $n_clean/$BRACKETS" >&2
+    if [ "$n_clean" -ge "$BRACKETS" ]; then break; fi
+  else
+    echo "[cert4b] bracket not clean, retrying" >&2
+    sleep 120
+  fi
+done
+
+if [ "$n_clean" -lt 1 ]; then echo "[cert4b] no clean bracket"; exit 1; fi
+
+python3 - "$RESULTS" "$BASE" "$PAGES" "$ROADS" <<'PY'
+import json, statistics, sys
+br = json.loads(sys.argv[1])
+t2 = [b["N_local2"]["sec"] for b in br]
+t8 = [b["4N_local8"]["sec"] for b in br]
+med2, med8 = statistics.median(t2), statistics.median(t8)
+out = {
+  "scale": {"pages": int(sys.argv[3]), "roads": int(sys.argv[4])},
+  "binary": "round-4 final (fused match_score kernel + summarized conflate shuffle)",
+  "protocol": "boot-relative probe gate (median-of-3 startup probes +8%), "
+              "median of %d clean brackets, level order alternated" % len(br),
+  "boot_probe_baseline_sec": float(sys.argv[2]),
+  "brackets": br,
+  "median_N_local2_sec": med2,
+  "median_4N_local8_sec": med8,
+  "rows_per_sec_N": round(br[0]["N_local2"]["segments"] / med2, 1),
+  "rows_per_sec_4N": round(br[0]["N_local2"]["segments"] / med8, 1),
+  "tiles_per_sec_N": round(br[0]["N_local2"]["tiles"] / med2, 1),
+  "tiles_per_sec_4N": round(br[0]["N_local2"]["tiles"] / med8, 1),
+  "efficiency_N_to_4N_of_medians": round(med2 / med8 / 4.0, 3),
+  "per_bracket_efficiencies": [b["efficiency"] for b in br],
+}
+json.dump(out, open("SCALING_r4B.json", "w"), indent=1)
+print("[cert4b] efficiency of medians:", out["efficiency_N_to_4N_of_medians"],
+      "per-bracket:", out["per_bracket_efficiencies"])
+PY
+git add SCALING_r4B.json \
+  && git commit -q -m "Certify the 6.4M N-vs-4N bracket on the final round-4 binary (median of clean brackets)" \
+  && echo "[cert4b] COMMITTED"
