@@ -23,20 +23,61 @@ object Synth {
 
   // --- deterministic hashing (FNV-1a 64 + murmur3 fmix64 finalizer; raw
   // FNV low bits have too little entropy for small moduli) ----------------
-  def hash64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
+  //
+  // FNV-1a folds characters left to right, so hash64(a + b) can be computed
+  // from the fold state after `a` plus a fold of `b` — WITHOUT allocating
+  // the concatenated string. The generators below exploit that: the page
+  // generator alone computed hash64(s"$url/w$i") ~50 times per page, and at
+  // 6.4M pages those ~320M short-lived (String, char[]) pairs were the
+  // single largest measured CPU+GC tax of the whole scaling run (stage
+  // profile in BENCH.md round 4b: pages stage 216 CPU-s / 9.6 s GC at
+  // local[8]). Values are bit-identical to the string forms (pinned by
+  // SynthHashSpec).
+  final val FnvSeed = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a fold of `s` onto state `h0` (no finalizer). */
+  @inline def fnvFold(h0: Long, s: String): Long = {
+    var h = h0
     var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    // fmix64 avalanche (public-domain MurmurHash3 finalizer)
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= FnvPrime; i += 1 }
+    h
+  }
+
+  /** FNV-1a fold of the decimal digits of `v` (≥ 0), most significant
+    * first — exactly the fold of `v.toString`, zero allocations. */
+  @inline def fnvFoldDigits(h0: Long, v: Long): Long = {
+    var div = 1L
+    while (v / div >= 10) div *= 10
+    var h = h0
+    var rest = v
+    while (div > 0) {
+      val d = rest / div
+      h ^= ('0' + d).toLong; h *= FnvPrime
+      rest -= d * div
+      div /= 10
+    }
+    h
+  }
+
+  /** fmix64 avalanche finalizer (public-domain MurmurHash3). */
+  @inline def fmix64(h0: Long): Long = {
+    var h = h0
     h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
     h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
     h ^= h >>> 33
     h
   }
+
+  def hash64(s: String): Long = fmix64(fnvFold(FnvSeed, s))
+  /** bounded non-negative value from a finalized hash */
+  @inline def modOf(h: Long, m: Int): Int = (((h % m) + m) % m).toInt
+  /** uniform [0,1) from a finalized hash */
+  @inline def fracOf(h: Long): Double = ((h >>> 11).toDouble) / (1L << 53).toDouble
   /** bounded non-negative hash */
-  def hmod(s: String, m: Int): Int = (((hash64(s) % m) + m) % m).toInt
+  def hmod(s: String, m: Int): Int = modOf(hash64(s), m)
   /** uniform [0,1) from a hash */
-  def hfrac(s: String): Double = ((hash64(s) >>> 11).toDouble) / (1L << 53).toDouble
+  def hfrac(s: String): Double = fracOf(hash64(s))
 
   // --- world constants ---------------------------------------------------
   val Lon0 = -73.95
@@ -54,21 +95,23 @@ object Synth {
   /** Deterministic road polyline: seeded start cell + direction-biased walk.
     * 8–16 vertices, ~150–300 m steps. */
   def roadCoords(roadId: Int, nRoads: Int): Array[Array[Double]] = {
-    val seed = s"road/$roadId"
+    val seedState = fnvFoldDigits(fnvFold(FnvSeed, "road/"), roadId.toLong)
     val g = gridCols(nRoads)
-    val col = hmod(seed + "/c", g)
-    val row = hmod(seed + "/r", g)
+    val col = modOf(fmix64(fnvFold(seedState, "/c")), g)
+    val row = modOf(fmix64(fnvFold(seedState, "/r")), g)
     var lon = Lon0 + col * CellDeg
     var lat = Lat0 + row * CellDeg
-    val nV = 8 + hmod(seed + "/n", 9)
-    val baseDir = hfrac(seed + "/d") * 2 * math.Pi
+    val nV = 8 + modOf(fmix64(fnvFold(seedState, "/n")), 9)
+    val baseDir = fracOf(fmix64(fnvFold(seedState, "/d"))) * 2 * math.Pi
+    val wState = fnvFold(seedState, "/w")
+    val sState = fnvFold(seedState, "/s")
     val out = new Array[Array[Double]](nV)
     var i = 0
     while (i < nV) {
       out(i) = Array(lon, lat)
-      val wiggle = (hfrac(s"$seed/w$i") - 0.5) * 0.9
+      val wiggle = (fracOf(fmix64(fnvFoldDigits(wState, i))) - 0.5) * 0.9
       val dir = baseDir + wiggle
-      val step = 0.0015 + hfrac(s"$seed/s$i") * 0.0015
+      val step = 0.0015 + fracOf(fmix64(fnvFoldDigits(sState, i))) * 0.0015
       lon += math.cos(dir) * step
       lat += math.sin(dir) * step * 0.75
       i += 1
@@ -144,15 +187,24 @@ object Synth {
     s"https://example.test/albany/road$road/page$seq"
   }
 
-  /** Deterministic page text; the engine must carry it byte-identically. */
+  private val TextWords = Array("road", "traffic", "segment", "bridge", "county",
+    "route", "travel", "miles", "lane", "speed", "network", "junction", "survey",
+    "annual")
+  private val Langs = Array("en", "de", "es")
+
+  /** Deterministic page text; the engine must carry it byte-identically.
+    * Hashes run incrementally off the url's fold state — one pass over the
+    * url per page instead of one per word (bit-identical, SynthHashSpec). */
   def pageText(url: String): String = {
-    val words = Vector("road", "traffic", "segment", "bridge", "county", "route",
-      "travel", "miles", "lane", "speed", "network", "junction", "survey", "annual")
-    val n = 20 + hmod(url + "/len", 60)
-    val sb = new StringBuilder(s"Report for $url.")
+    val urlState = fnvFold(FnvSeed, url)
+    val n = 20 + modOf(fmix64(fnvFold(urlState, "/len")), 60)
+    val wState = fnvFold(urlState, "/w")
+    val sb = new StringBuilder(16 + url.length + n * 9)
+    sb.append("Report for ").append(url).append('.')
     var i = 0
     while (i < n) {
-      sb.append(' ').append(words(hmod(s"$url/w$i", words.length)))
+      sb.append(' ').append(TextWords(
+        modOf(fmix64(fnvFoldDigits(wState, i)), TextWords.length)))
       if (i % 9 == 8) sb.append('.')
       i += 1
     }
@@ -162,9 +214,10 @@ object Synth {
   def page(i: Long, nRoads: Int): WebPage = {
     val url = pageUrl(i, nRoads)
     val text = pageText(url)
-    val lang = Vector("en", "de", "es")(hmod(url + "/lang", 3))
+    val urlState = fnvFold(FnvSeed, url)
+    val lang = Langs(modOf(fmix64(fnvFold(urlState, "/lang")), 3))
     val html = ("<html><body><p>" + text + "</p></body></html>").getBytes("UTF-8")
-    new WebPage(url, new Timestamp(BaseTs + (hash64(url) >>> 40)), html, text, lang)
+    new WebPage(url, new Timestamp(BaseTs + (fmix64(urlState) >>> 40)), html, text, lang)
   }
 
   // --- geocoder: page → target-map feature (the graft) --------------------
@@ -182,18 +235,20 @@ object Synth {
 
   /** The feature id a url geocodes to — cheap (no geometry), for dedup keys. */
   def featureId(url: String, nRoads: Int): String = {
-    val road = hmod(url + "/road", nRoads)
-    val tm = if (hmod(url + "/tm", 2) == 0) "npmrds_2026" else "ris_2026"
-    val slot = hmod(url + "/slot", SlotsPerRoad)
+    val urlState = fnvFold(FnvSeed, url)
+    val road = modOf(fmix64(fnvFold(urlState, "/road")), nRoads)
+    val tm = if (modOf(fmix64(fnvFold(urlState, "/tm")), 2) == 0) "npmrds_2026" else "ris_2026"
+    val slot = modOf(fmix64(fnvFold(urlState, "/slot")), SlotsPerRoad)
     s"${tm.take(1)}36001r${road}s$slot"
   }
 
   def geocode(url: String, text: String, nRoads: Int): TargetMapFeature = {
-    val road = hmod(url + "/road", nRoads)
+    val urlState = fnvFold(FnvSeed, url)
+    val road = modOf(fmix64(fnvFold(urlState, "/road")), nRoads)
     val coords = roadCoords(road, nRoads)
     val roadLen = Geo.lengthKm(coords)
-    val tm = if (hmod(url + "/tm", 2) == 0) "npmrds_2026" else "ris_2026"
-    val slot = hmod(url + "/slot", SlotsPerRoad)
+    val tm = if (modOf(fmix64(fnvFold(urlState, "/tm")), 2) == 0) "npmrds_2026" else "ris_2026"
+    val slot = modOf(fmix64(fnvFold(urlState, "/slot")), SlotsPerRoad)
     val tmId = s"${tm.take(1)}36001r${road}s$slot"
     // the slot's disjoint sub-range of the road
     val a = slot * roadLen / SlotsPerRoad
@@ -201,9 +256,12 @@ object Synth {
     val slice = Geo.lineSliceAlong(coords, a, b)
     // lateral jitter ±~6 m, keyed by FEATURE id so duplicate pages produce
     // byte-identical features (GPS noise analog)
+    val tmIdState = fnvFold(FnvSeed, tmId)
+    val jxState = fnvFold(tmIdState, "/jx")
+    val jyState = fnvFold(tmIdState, "/jy")
     val jittered: Seq[Seq[Double]] = slice.zipWithIndex.map { case (p, k) =>
-      Seq(p(0) + (hfrac(s"$tmId/jx$k") - 0.5) * 1.2e-4,
-          p(1) + (hfrac(s"$tmId/jy$k") - 0.5) * 0.8e-4)
+      Seq(p(0) + (fracOf(fmix64(fnvFoldDigits(jxState, k))) - 0.5) * 1.2e-4,
+          p(1) + (fracOf(fmix64(fnvFoldDigits(jyState, k))) - 0.5) * 0.8e-4)
     }.toSeq
     val bearing = Geo.lineFinalBearing(jittered.map(_.toArray).toArray)
     val first = jittered.head
