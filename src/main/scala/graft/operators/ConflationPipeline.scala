@@ -51,15 +51,23 @@ object ConflationPipeline {
     import spark.implicits._
     // Dedup on the CHEAP (feature id, url) projection first — shuffling full
     // page bodies through a min_by(struct) aggregate is ~10x the volume.
-    // The winner join is left to the optimizer: a forced broadcast builds a
+    // The winner join is a SHUFFLE_HASH left-semi: each url maps to exactly
+    // one feature id, so the winner set is unique in url and an inner join
+    // that keeps only page columns ≡ a semi-join. Hash instead of sort-merge
+    // because sorting the wide (url, text) page rows was the single most
+    // bus-contended stage of the 6.4M run (3.3x CPU at 8 threads vs 2, plus
+    // a 0.5→17s G1 swing from sort-page humongous allocation); the build
+    // side is the slim url-only winner set, a bounded fraction of one page
+    // column per partition. A forced broadcast instead builds a
     // multi-hundred-MB driver-side hash table serially at large scale (at
     // 10^12 scale this becomes a bucketed join on url).
     val winners = pagesDs.map(p => (Synth.featureId(p.url, nRoads), p.url))
       .toDF("id", "url")
       .groupBy($col("id")).agg(min($col("url")).as("url"))
       .select("url")
-    pagesDs.toDF().join(winners, "url")
-      .select("url", "text").as[(String, String)]
+    pagesDs.toDF().select("url", "text")
+      .join(winners.hint("SHUFFLE_HASH"), Seq("url"), "left_semi")
+      .as[(String, String)]
       .map { case (u, t) => Synth.geocode(u, t, nRoads) }
   }
 

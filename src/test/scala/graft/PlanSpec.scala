@@ -88,6 +88,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("geocode winner semi-join is a shuffled hash join — no sort of page rows") {
+    // Sorting the wide (url, text) page rows for a sort-merge join was the
+    // most bus-contended stage of the 6.4M scaling run; the semi-join must
+    // hash-build on the slim winner side instead.
+    val plan = graft.operators.ConflationPipeline.features(
+      graft.operators.ConflationPipeline.pages(spark, 100, 10), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("minhash LSH pair join shuffles only slim columns (no shingle arrays)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text")
