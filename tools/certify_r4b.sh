@@ -106,7 +106,7 @@ med2, med8 = statistics.median(t2), statistics.median(t8)
 out = {
   "scale": {"pages": int(sys.argv[3]), "roads": int(sys.argv[4])},
   "binary": "round-4 final (fused match_score kernel + summarized conflate shuffle + incremental-FNV synth)",
-  "protocol": "boot-relative probe gate (median-of-3 startup probes +8%), "
+  "protocol": "boot-relative probe gate (median-of-3 startup probes +8%%), "
               "median of %d clean brackets, level order alternated" % len(br),
   "boot_probe_baseline_sec": float(sys.argv[2]),
   "brackets": br,
