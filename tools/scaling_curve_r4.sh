@@ -12,7 +12,8 @@
 #
 # Probe gating is boot-relative (median-of-3 startup probes +8%), same as
 # tools/certify_r4b.sh — absolute gates do not transfer across VM reboots.
-# Writes SCALING_r4_curve.json on success.
+# Writes $OUT_JSON (default SCALING_r4_curve.json) on success; PAGES/ROADS/
+# LEVELS/COMMIT_MSG parametrize the scale, the level set, and the commit.
 set -u
 cd "$(dirname "$0")/.."
 export SPARK_GRAFT_AQE=false
@@ -20,6 +21,8 @@ export SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-local
 PAGES=${PAGES:-6400000}
 ROADS=${ROADS:-256000}
 LEVELS=${LEVELS:-"1 2 4 8"}
+OUT_JSON=${OUT_JSON:-SCALING_r4_curve.json}
+COMMIT_MSG=${COMMIT_MSG:-"Measure the 6.4M scaling curve at 1/2/4/8 cores in one clean bracket"}
 
 clean_shm() { rm -rf /dev/shm/spark-local; mkdir -p /dev/shm/spark-local; }
 clean_shm
@@ -71,7 +74,7 @@ for attempt in $(seq 1 12); do
     echo "[curve] $(date +%H:%M) settled post-probe: ${PPOST}s" >&2
   fi
   if [ "$ok" = 1 ] && healthy "$PPOST"; then
-    python3 - "$OUT" "$P" "$PIMM" "$PPOST" "$BASE" "$PAGES" "$ROADS" <<'PY'
+    python3 - "$OUT" "$P" "$PIMM" "$PPOST" "$BASE" "$PAGES" "$ROADS" "$OUT_JSON" <<'PY'
 import json, sys
 levels = json.loads(sys.argv[1].rstrip(",") + "}")
 segs = {v["segments"] for v in levels.values()}
@@ -94,11 +97,11 @@ out = {
     f"{a}->{a*4}": round(sec[a] / sec[a*4] / 4.0, 3)
     for a in cs if a * 4 in sec},
 }
-json.dump(out, open("SCALING_r4_curve.json", "w"), indent=1)
+json.dump(out, open(sys.argv[8], "w"), indent=1)
 print("[curve]", json.dumps(out["n_vs_4n"]), json.dumps(out["adjacent_doubling_efficiency"]))
 PY
-    git add SCALING_r4_curve.json \
-      && git commit -q -m "Measure the 6.4M scaling curve at 1/2/4/8 cores in one clean bracket" \
+    git add "$OUT_JSON" \
+      && git commit -q -m "$COMMIT_MSG" \
       && echo "[curve] COMMITTED" >&2
     exit 0
   fi
