@@ -170,10 +170,10 @@ object ConflationPipeline {
         $col("targetMapMicroLevelBearing").as("tmMicroBearing"),
         $col("matchedTargetMapMicroLevelBearing").as("matchedMicroBearing"),
         $col("targetMapMesoLevelBearing").as("tmMesoBearing"),
-        // chainBearing reads only first-of-first/last-of-last — shuffle a
-        // 2-point geometry, not the full polyline
-        array(element_at($col("geometry"), 1), element_at($col("geometry"), -1))
-          .as("geometry")).as[MesoKeyed]
+        // chainBearing reads only first-of-first/last-of-last — shuffle the
+        // 2-point endpoint summary, not a polyline
+        array(array($col("msLon"), $col("msLat")),
+          array($col("meLon"), $col("meLat"))).as("geometry")).as[MesoKeyed]
     val mesoOut = mesoIn.groupByKey(r => (r.targetMap, r.mesoId))
       .flatMapGroups { (key: (String, String), it: Iterator[MesoKeyed]) =>
         val rows = it.toSeq
@@ -233,6 +233,16 @@ object ConflationPipeline {
         $col("targetMap").rlike(UndirectedTmPattern),
         MinOverlapKm, hausdorffKm))
       .filter($col("msc").isNotNull)
+    // The slice polyline is reduced to its SUMMARY here, in the same stage
+    // that computed it: vertex count (keep-longest sort key), endpoints
+    // (chain bearings + the kernel's rawOffsets), geodesic length, bbox
+    // (megaMetadata min/maxes per-match bboxes — exact). Downstream of this
+    // projection no operator reads a match polyline, so the post-processor
+    // shuffle, the meta join, the enrichment cache, and the central conflate
+    // shuffle all carry 9 doubles + an int instead of the nested point array
+    // (~3x the bytes and a boxed Seq[Seq[Double]] encoder round-trip in two
+    // typed kernels — 246 of the 6.4M run's ~600 CPU-s, BENCH.md round 4c).
+    val g = $col("msc.geometry")
     scored.select(
       $col("ref_id").as("shstReferenceId"),
       $col("fromIntersectionId").as("shstFromIntersectionId"),
@@ -240,7 +250,16 @@ object ConflationPipeline {
       $col("targetMap"), $col("targetMapId"),
       $col("targetMapIsPrimary"), $col("targetMapNetHrchyRank"),
       $col("msc.score").as("score"),
-      $col("msc.geometry").as("geometry"))
+      size(g).as("mNumPts"),
+      element_at(element_at(g, 1), 1).as("msLon"),
+      element_at(element_at(g, 1), 2).as("msLat"),
+      element_at(element_at(g, -1), 1).as("meLon"),
+      element_at(element_at(g, -1), 2).as("meLat"),
+      geodesic_length_km(g).as("mLenKm"),
+      array_min(transform(g, p => element_at(p, 1))).as("mMinLon"),
+      array_min(transform(g, p => element_at(p, 2))).as("mMinLat"),
+      array_max(transform(g, p => element_at(p, 1))).as("mMaxLon"),
+      array_max(transform(g, p => element_at(p, 2))).as("mMaxLat"))
   }
 
   // ------------------------------------------------------------ conflation
@@ -292,17 +311,17 @@ object ConflationPipeline {
           $col("matchedTargetMapMegaLevelDirectionOfTravel"))
       else if (matchesDf.columns.contains("megaDir")) matchesDf
       else matchesDf.withColumn("megaDir", lit(null).cast("string"))
+    // the match-geometry summary was computed once at scoring time
+    // (scoredCandidates) and rides as flat columns — the central shuffle
+    // carries 5 doubles per match, and nothing here touches a polyline
     val matchesAgg = withDir
       .groupBy($col("shstReferenceId"))
       .agg(collect_list(struct(
         $col("targetMap"), $col("targetMapId"), $col("matchedTargetMapId"),
         $col("matchedTargetMapMicroIdx"), $col("targetMapIsPrimary"),
         $col("targetMapNetHrchyRank"), $col("megaDir"),
-        element_at(element_at($col("geometry"), 1), 1).as("msLon"),
-        element_at(element_at($col("geometry"), 1), 2).as("msLat"),
-        element_at(element_at($col("geometry"), -1), 1).as("meLon"),
-        element_at(element_at($col("geometry"), -1), 2).as("meLat"),
-        geodesic_length_km($col("geometry")).as("mLenKm"))).as("ms"))
+        $col("msLon"), $col("msLat"), $col("meLon"), $col("meLat"),
+        $col("mLenKm"))).as("ms"))
     val joined = refsDs.toDF()
       .select($col("shstReferenceId"), $col("geometryId"), $col("fromIntersectionId"),
         $col("toIntersectionId"), $col("oneWay"), $col("isForward"), $col("roadClass"),

@@ -116,13 +116,12 @@ object MesoMega {
   /** DataFrame form: per (targetMap, megaId) group, compute bbox (A6 as
     * min/max aggregates), join back, derive direction + micro id. */
   def megaMetadata(matchesWithMeso: DataFrame): DataFrame = {
-    val pts = matchesWithMeso.select(col("targetMap"), col("targetMapMegaId"),
-      col("matchedTargetMapId"), explode(col("geometry")).as("p"))
-      .select(col("targetMap"), col("targetMapMegaId"), col("matchedTargetMapId"),
-        element_at(col("p"), 1).as("lon"), element_at(col("p"), 2).as("lat"))
-    val bboxes = pts.groupBy("targetMap", "targetMapMegaId")
-      .agg(min("lon").as("minLon"), min("lat").as("minLat"),
-        max("lon").as("maxLon"), max("lat").as("maxLat"))
+    // group bbox from the per-match bbox summaries (computed once at scoring
+    // time): min-of-mins / max-of-maxes over match bboxes equals the min/max
+    // over all polyline vertices exactly — no polyline explode
+    val bboxes = matchesWithMeso.groupBy("targetMap", "targetMapMegaId")
+      .agg(min("mMinLon").as("minLon"), min("mMinLat").as("minLat"),
+        max("mMaxLon").as("maxLon"), max("mMaxLat").as("maxLat"))
       .withColumn("is_ns",
         graft.functions.geo.haversine_km(col("minLon"), col("minLat"), col("minLon"), col("maxLat")) >
         graft.functions.geo.haversine_km(col("minLon"), col("minLat"), col("maxLon"), col("minLat")))

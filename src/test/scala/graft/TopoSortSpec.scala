@@ -76,7 +76,7 @@ class TopoSortSpec extends AnyFunSuite {
 
   test("processGroup: sorted chain gets tmId|bearing|idx ids and micro indices") {
     def m(ref: String, f: String, t: String, coords: Seq[Seq[Double]]) =
-      MatchPostProcessor.MatchIn(ref, f, t, "npmrds_2026", "t1", true, 3, 0.001, coords)
+      MatchPostProcessor.MatchIn.fromGeometry(ref, f, t, "npmrds_2026", "t1", true, 3, 0.001, coords)
     val ms = Seq(
       m("r2", "B", "C", Seq(Seq(-73.79, 42.7), Seq(-73.78, 42.7))),
       m("r1", "A", "B", Seq(Seq(-73.80, 42.7), Seq(-73.79, 42.7))))
@@ -91,7 +91,7 @@ class TopoSortSpec extends AnyFunSuite {
 
   test("processGroup: duplicate (from,to) keeps the longest; exact dups removed") {
     def m(ref: String, coords: Seq[Seq[Double]]) =
-      MatchPostProcessor.MatchIn(ref, "A", "B", "tm", "t1", true, 3, 0.0, coords)
+      MatchPostProcessor.MatchIn.fromGeometry(ref, "A", "B", "tm", "t1", true, 3, 0.0, coords)
     val short = m("rS", Seq(Seq(-73.80, 42.7), Seq(-73.795, 42.7)))
     val long = m("rL", Seq(Seq(-73.80, 42.7), Seq(-73.797, 42.7), Seq(-73.79, 42.7)))
     val out = MatchPostProcessor.processGroup("t1", directed = true, Seq(short, long, long))
@@ -100,7 +100,7 @@ class TopoSortSpec extends AnyFunSuite {
 
   test("processGroup: unsortable matches fall back to charshift ids") {
     def m(ref: String, f: String, t: String) =
-      MatchPostProcessor.MatchIn(ref, f, t, "tm", "t1", true, 3, 0.0,
+      MatchPostProcessor.MatchIn.fromGeometry(ref, f, t, "tm", "t1", true, 3, 0.0,
         Seq(Seq(-73.8, 42.7), Seq(-73.79, 42.7)))
     // cycle → no source nodes
     val ms = Seq(m("r1", "A", "B"), m("r2", "B", "C"), m("r3", "C", "A"))
