@@ -392,3 +392,49 @@ object MatchScore {
     StructField("score", DoubleType, nullable = false),
     StructField("geometry", ExprHelp.lineType, nullable = false)))
 }
+
+/**
+ * [[MatchScore]] fused one step further: the slice polyline never
+ * materializes — endpoints, vertex count, geodesic length, and bbox are
+ * accumulated in the same kernel pass ([[GeoFn.matchSummary]]). This is the
+ * production matcher's form (ConflationPipeline.scoredCandidates); the
+ * geometry-returning [[MatchScore]] stays as the API + equivalence anchor
+ * (MatchScoreSpec pins field-for-field identity between the two).
+ */
+case class MatchSummary(rGeom: Expression, fGeom: Expression, revOk: Expression,
+    minOverlapKm: Double, maxHausdorffKm: Double)
+    extends TernaryExpression {
+  override def first: Expression = rGeom
+  override def second: Expression = fGeom
+  override def third: Expression = revOk
+  override def dataType: DataType = MatchSummary.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "match_summary"
+  protected override def nullSafeEval(r: Any, f: Any, rev: Any): Any =
+    GeoFn.matchSummary(r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      f.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      rev.asInstanceOf[Boolean], minOverlapKm, maxHausdorffKm)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, f, rev) => s"""
+      ${ev.value} = graft.functions.GeoFn.matchSummary($r, $f, $rev,
+        ${minOverlapKm}D, ${maxHausdorffKm}D);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  protected override def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): MatchSummary =
+    copy(a, b, c)
+}
+
+object MatchSummary {
+  val schema: DataType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("mNumPts", IntegerType, nullable = false),
+    StructField("msLon", DoubleType, nullable = false),
+    StructField("msLat", DoubleType, nullable = false),
+    StructField("meLon", DoubleType, nullable = false),
+    StructField("meLat", DoubleType, nullable = false),
+    StructField("mLenKm", DoubleType, nullable = false),
+    StructField("mMinLon", DoubleType, nullable = false),
+    StructField("mMinLat", DoubleType, nullable = false),
+    StructField("mMaxLon", DoubleType, nullable = false),
+    StructField("mMaxLat", DoubleType, nullable = false)))
+}

@@ -117,4 +117,45 @@ object GeoFn {
     row.update(1, new GenericArrayData(pts))
     row
   }
+
+  /** [[matchScore]] with the slice reduced to its summary in the same pass:
+    * struct(score, mNumPts, msLon, msLat, meLon, meLat, mLenKm, mMinLon,
+    * mMinLat, mMaxLon, mMaxLat). No per-point array materialization at all —
+    * the length accumulates in [[Geo.lengthKm]]'s exact operation order, so
+    * every field is bit-identical to computing it over matchScore's geometry
+    * (MatchScoreSpec pins this). */
+  def matchSummary(r: ArrayData, f: ArrayData, revOk: Boolean,
+      minOverlapKm: Double, maxHausdorffKm: Double): org.apache.spark.sql.catalyst.InternalRow = {
+    val rn = r.numElements()
+    val rx = new Array[Double](rn); val ry = new Array[Double](rn)
+    var i = 0
+    while (i < rn) { val p = r.getArray(i); rx(i) = p.getDouble(0); ry(i) = p.getDouble(1); i += 1 }
+    val fn = f.numElements()
+    val fx = new Array[Double](fn); val fy = new Array[Double](fn)
+    i = 0
+    while (i < fn) { val p = f.getArray(i); fx(i) = p.getDouble(0); fy(i) = p.getDouble(1); i += 1 }
+    val res = Geo.matchScoreFlat(rx, ry, fx, fy, revOk, minOverlapKm, maxHausdorffKm)
+    if (res == null) return null
+    val m = res.line
+    val mn = m.length / 2
+    var minLon = m(0); var maxLon = m(0); var minLat = m(1); var maxLat = m(1)
+    var len = 0.0
+    i = 1
+    while (i < mn) {
+      val x = m(2 * i); val y = m(2 * i + 1)
+      if (x < minLon) minLon = x; if (x > maxLon) maxLon = x
+      if (y < minLat) minLat = y; if (y > maxLat) maxLat = y
+      len += Geo.haversineKm(m(2 * i - 2), m(2 * i - 1), x, y)
+      i += 1
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(11)
+    row.update(0, res.score)
+    row.update(1, mn)
+    row.update(2, m(0)); row.update(3, m(1))
+    row.update(4, m(2 * mn - 2)); row.update(5, m(2 * mn - 1))
+    row.update(6, len)
+    row.update(7, minLon); row.update(8, minLat)
+    row.update(9, maxLon); row.update(10, maxLat)
+    row
+  }
 }

@@ -69,6 +69,15 @@ object geo {
     toCol(MatchScore(toExpr(rGeom), toExpr(fGeom), toExpr(revOk),
       minOverlapKm, maxHausdorffKm))
 
+  /** [[match_score]] with the slice reduced to its summary in the same
+    * kernel pass: struct(score, mNumPts, msLon, msLat, meLon, meLat,
+    * mLenKm, mMinLon, mMinLat, mMaxLon, mMaxLat) or NULL when gated out.
+    * Field-for-field identical to summarizing match_score's geometry. */
+  def match_summary(rGeom: Column, fGeom: Column, revOk: Column,
+      minOverlapKm: Double, maxHausdorffKm: Double): Column =
+    toCol(MatchSummary(toExpr(rGeom), toExpr(fGeom), toExpr(revOk),
+      minOverlapKm, maxHausdorffKm))
+
   def tile_x(lon: Column, zoom: Column): Column = toCol(TileX(toExpr(lon), toExpr(zoom)))
 
   def tile_y(lat: Column, zoom: Column): Column = toCol(TileY(toExpr(lat), toExpr(zoom)))

@@ -228,21 +228,21 @@ object ConflationPipeline {
     // measured allocator bottleneck of this stage (BENCH.md r4).
     val scored = candidates
       .repartition(parts, $col("feature_id"), $col("ref_id"))
-      .withColumn("msc", match_score(
+      .withColumn("msc", match_summary(
         $col("r_geom"), $col("f_geom"),
         $col("targetMap").rlike(UndirectedTmPattern),
         MinOverlapKm, hausdorffKm))
       .filter($col("msc").isNotNull)
-    // The slice polyline is reduced to its SUMMARY here, in the same stage
-    // that computed it: vertex count (keep-longest sort key), endpoints
-    // (chain bearings + the kernel's rawOffsets), geodesic length, bbox
-    // (megaMetadata min/maxes per-match bboxes — exact). Downstream of this
-    // projection no operator reads a match polyline, so the post-processor
-    // shuffle, the meta join, the enrichment cache, and the central conflate
-    // shuffle all carry 9 doubles + an int instead of the nested point array
-    // (~3x the bytes and a boxed Seq[Seq[Double]] encoder round-trip in two
-    // typed kernels — 246 of the 6.4M run's ~600 CPU-s, BENCH.md round 4c).
-    val g = $col("msc.geometry")
+    // The slice polyline never materializes: match_summary accumulates its
+    // SUMMARY — vertex count (keep-longest sort key), endpoints (chain
+    // bearings + the kernel's rawOffsets), geodesic length, bbox
+    // (megaMetadata min/maxes per-match bboxes — exact) — inside the scoring
+    // kernel's own pass. Downstream of this projection no operator reads a
+    // match polyline, so the post-processor shuffle, the meta join, the
+    // enrichment cache, and the central conflate shuffle all carry 9 doubles
+    // + an int instead of the nested point array (~3x the bytes on real-
+    // world polylines, and a boxed Seq[Seq[Double]] encoder round-trip in
+    // two typed kernels — 246 of the 6.4M run's ~600 CPU-s, BENCH.md r4c).
     scored.select(
       $col("ref_id").as("shstReferenceId"),
       $col("fromIntersectionId").as("shstFromIntersectionId"),
@@ -250,16 +250,12 @@ object ConflationPipeline {
       $col("targetMap"), $col("targetMapId"),
       $col("targetMapIsPrimary"), $col("targetMapNetHrchyRank"),
       $col("msc.score").as("score"),
-      size(g).as("mNumPts"),
-      element_at(element_at(g, 1), 1).as("msLon"),
-      element_at(element_at(g, 1), 2).as("msLat"),
-      element_at(element_at(g, -1), 1).as("meLon"),
-      element_at(element_at(g, -1), 2).as("meLat"),
-      geodesic_length_km(g).as("mLenKm"),
-      array_min(transform(g, p => element_at(p, 1))).as("mMinLon"),
-      array_min(transform(g, p => element_at(p, 2))).as("mMinLat"),
-      array_max(transform(g, p => element_at(p, 1))).as("mMaxLon"),
-      array_max(transform(g, p => element_at(p, 2))).as("mMaxLat"))
+      $col("msc.mNumPts").as("mNumPts"),
+      $col("msc.msLon").as("msLon"), $col("msc.msLat").as("msLat"),
+      $col("msc.meLon").as("meLon"), $col("msc.meLat").as("meLat"),
+      $col("msc.mLenKm").as("mLenKm"),
+      $col("msc.mMinLon").as("mMinLon"), $col("msc.mMinLat").as("mMinLat"),
+      $col("msc.mMaxLon").as("mMaxLon"), $col("msc.mMaxLat").as("mMaxLat"))
   }
 
   // ------------------------------------------------------------ conflation

@@ -110,6 +110,40 @@ class MatchScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("match_summary ≡ summarized match_score.geometry, field for field") {
+    val df = cases.zipWithIndex.map { case ((r, f, rev), i) => (i.toLong, r, f, rev) }
+      .toDF("id", "r_geom", "f_geom", "revOk")
+      .withColumn("r_geom", $"r_geom".cast("array<array<double>>"))
+      .withColumn("f_geom", $"f_geom".cast("array<array<double>>"))
+    // summary recomputed from match_score's materialized geometry
+    val g = $"msc.geometry"
+    val want = df
+      .withColumn("msc", match_score($"r_geom", $"f_geom", $"revOk", MinOv, MaxH))
+      .filter($"msc".isNotNull)
+      .select($"id", $"msc.score".as("score"), size(g).as("mNumPts"),
+        element_at(element_at(g, 1), 1).as("msLon"),
+        element_at(element_at(g, 1), 2).as("msLat"),
+        element_at(element_at(g, -1), 1).as("meLon"),
+        element_at(element_at(g, -1), 2).as("meLat"),
+        geodesic_length_km(g).as("mLenKm"),
+        array_min(transform(g, p => element_at(p, 1))).as("mMinLon"),
+        array_min(transform(g, p => element_at(p, 2))).as("mMinLat"),
+        array_max(transform(g, p => element_at(p, 1))).as("mMaxLon"),
+        array_max(transform(g, p => element_at(p, 2))).as("mMaxLat"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val got = df
+      .withColumn("msc", match_summary($"r_geom", $"f_geom", $"revOk", MinOv, MaxH))
+      .filter($"msc".isNotNull)
+      .select($"id", $"msc.score", $"msc.mNumPts", $"msc.msLon", $"msc.msLat",
+        $"msc.meLon", $"msc.meLat", $"msc.mLenKm",
+        $"msc.mMinLon", $"msc.mMinLat", $"msc.mMaxLon", $"msc.mMaxLat")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(got.keySet == want.keySet, "survivor sets differ")
+    assert(want.nonEmpty, "no survivors — weak test")
+    for ((id, w) <- want)
+      assert(got(id) == w, s"summary mismatch at id=$id: ${got(id)} vs $w")
+  }
+
   test("fused kernel matches composed kernels point-for-point off-Spark") {
     for ((r, f, revOk) <- cases) {
       val ra = r.map(_.toArray).toArray
