@@ -263,7 +263,12 @@ object ConflationPipeline {
   /** Way-section projection carried into the kernel (osm offsets, G7). */
   case class WsLite(wayId: String, nodeIds: Seq[String], roadClass: String, oneWay: Boolean)
 
-  /** Row shape for the per-reference kernel input. */
+  /** Row shape for the per-reference kernel input. `coords` is the
+    * reference polyline INTERLEAVED (lon0, lat0, lon1, lat1, ...): an
+    * Array[Double] field takes the encoder's primitive bulk-copy path where
+    * Seq[Seq[Double]] deserialized through per-point boxed allocations in
+    * the kernel flatMap (one of the two remaining encoder hot spots of the
+    * 6.4M profile, BENCH.md r4c). */
   case class RefWithMatches(
       shstReferenceId: String,
       geometryId: String,
@@ -273,7 +278,7 @@ object ConflationPipeline {
       isForward: Boolean,
       roadClass: String,
       wayId: String,
-      coordinates: Seq[Seq[Double]],
+      coords: Array[Double],
       sections: Seq[WsLite],
       ms: Seq[MatchRow])
 
@@ -322,7 +327,7 @@ object ConflationPipeline {
       .select($col("shstReferenceId"), $col("geometryId"), $col("fromIntersectionId"),
         $col("toIntersectionId"), $col("oneWay"), $col("isForward"), $col("roadClass"),
         element_at($col("waySections"), 1).getField("wayId").as("wayId"),
-        $col("coordinates"),
+        flatten($col("coordinates")).as("coords"),
         transform($col("waySections"), ws => struct(
           ws.getField("wayId").as("wayId"), ws.getField("nodeIds").as("nodeIds"),
           ws.getField("roadClass").as("roadClass"), ws.getField("oneWay").as("oneWay")))
@@ -330,7 +335,8 @@ object ConflationPipeline {
       .join(matchesAgg, Seq("shstReferenceId"), "inner")
       .as[RefWithMatches]
     joined.flatMap { row =>
-      val refCoords = row.coordinates.map(_.toArray).toArray
+      val cs = row.coords
+      val refCoords = Array.tabulate(cs.length / 2)(i => Array(cs(2 * i), cs(2 * i + 1)))
       val byTm = row.ms.groupBy(_.targetMap).toSeq.sortBy(_._1).map { case (tm, ms) =>
         tm -> ms.sortBy(m => (m.targetMapId, m.matchedTargetMapMicroIdx)).map { m =>
           (ConflationKernel.Interval(m.targetMap, m.targetMapId, m.matchedTargetMapId,
