@@ -20,6 +20,9 @@ export SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-local
 PAGES=${PAGES:-6400000}
 ROADS=${ROADS:-256000}
 BRACKETS=${BRACKETS:-3}
+ARTIFACT=${ARTIFACT:-SCALING_r4B.json}
+BINARY_DESC=${BINARY_DESC:-"round-4 final (fused match_score kernel + summarized conflate shuffle + incremental-FNV synth)"}
+COMMIT_MSG=${COMMIT_MSG:-"Certify the 6.4M N-vs-4N bracket on the final round-4 binary (median of clean brackets)"}
 
 clean_shm() { rm -rf /dev/shm/spark-local; mkdir -p /dev/shm/spark-local; }
 clean_shm
@@ -97,7 +100,7 @@ done
 
 if [ "$n_clean" -lt 1 ]; then echo "[cert4b] no clean bracket"; exit 1; fi
 
-python3 - "$RESULTS" "$BASE" "$PAGES" "$ROADS" <<'PY'
+python3 - "$RESULTS" "$BASE" "$PAGES" "$ROADS" "$ARTIFACT" "$BINARY_DESC" <<'PY'
 import json, statistics, sys
 br = json.loads(sys.argv[1])
 t2 = [b["N_local2"]["sec"] for b in br]
@@ -105,7 +108,7 @@ t8 = [b["4N_local8"]["sec"] for b in br]
 med2, med8 = statistics.median(t2), statistics.median(t8)
 out = {
   "scale": {"pages": int(sys.argv[3]), "roads": int(sys.argv[4])},
-  "binary": "round-4 final (fused match_score kernel + summarized conflate shuffle + incremental-FNV synth)",
+  "binary": sys.argv[6],
   "protocol": "boot-relative probe gate (median-of-3 startup probes +8%%), "
               "median of %d clean brackets, level order alternated" % len(br),
   "boot_probe_baseline_sec": float(sys.argv[2]),
@@ -119,10 +122,10 @@ out = {
   "efficiency_N_to_4N_of_medians": round(med2 / med8 / 4.0, 3),
   "per_bracket_efficiencies": [b["efficiency"] for b in br],
 }
-json.dump(out, open("SCALING_r4B.json", "w"), indent=1)
+json.dump(out, open(sys.argv[5], "w"), indent=1)
 print("[cert4b] efficiency of medians:", out["efficiency_N_to_4N_of_medians"],
       "per-bracket:", out["per_bracket_efficiencies"])
 PY
-git add SCALING_r4B.json \
-  && git commit -q -m "Certify the 6.4M N-vs-4N bracket on the final round-4 binary (median of clean brackets)" \
+git add "$ARTIFACT" \
+  && git commit -q -m "$COMMIT_MSG" \
   && echo "[cert4b] COMMITTED"
