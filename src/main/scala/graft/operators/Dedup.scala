@@ -135,26 +135,30 @@ object Dedup {
    * pathological bucket (a 10⁶-page boilerplate cluster that survived the
    * exact-dup collapse via trivial byte differences upstream of shingling)
    * would otherwise materialize 10¹² join rows before any filter could run
-   * (VERDICT r3 "What's wrong #1"). The hot-bucket set is collected (it is
-   * tiny by construction — only over-cap buckets) and anti-joined as a
-   * broadcast local relation, so the zero-hot-bucket fast path adds only one
+   * (VERDICT r3 "What's wrong #1"). Only the drop-count STATS are collected
+   * (two longs); the hot-bucket set itself stays distributed and is
+   * anti-joined back — broadcast-hinted while it fits comfortably
+   * (realistically it is tiny: a bucket must exceed `maxBucket` members to
+   * appear), falling back to a shuffled anti-join past 10⁷ hot buckets so an
+   * adversarial corpus (every bucket hot) degrades to one extra shuffle
+   * instead of a driver OOM. The zero-hot-bucket fast path adds only one
    * cheap aggregation over the cached banded table.
    */
   private def capBuckets(banded: DataFrame, maxBucket: Int, what: String): DataFrame = {
-    val spark = banded.sparkSession
-    import spark.implicits._
     val hot = banded.groupBy("__b", "__h").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket)
-      .collect()
-    if (hot.isEmpty) banded
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = hot.agg(count(lit(1)).as("nb"),
+      coalesce(sum("__n"), lit(0L)).as("nr")).first()
+    val (nBuckets, dropped) = (stats.getLong(0), stats.getLong(1))
+    if (nBuckets == 0L) { hot.unpersist(); banded }
     else {
-      val dropped = hot.map(_.getLong(2)).sum
-      log.warn(s"$what: dropping $dropped banded rows across ${hot.length} " +
+      log.warn(s"$what: dropping $dropped banded rows across $nBuckets " +
         s"hot buckets over occupancy cap $maxBucket — recall is reduced for " +
         s"members of these buckets")
-      val hotDf = hot.map(r => (r.getInt(0), r.getLong(1))).toSeq
-        .toDF("__b", "__h")
-      banded.join(broadcast(hotDf), Seq("__b", "__h"), "left_anti")
+      val hotKeys = hot.select(col("__b"), col("__h"))
+      val rel = if (nBuckets <= 10_000_000L) broadcast(hotKeys) else hotKeys
+      banded.join(rel, Seq("__b", "__h"), "left_anti")
     }
   }
 
