@@ -297,6 +297,31 @@ object SmokeWorld {
         nodeIds = ws.nodeIds.map(decSynthId("n", _))))))
   }
 
+  /** q58's snapshot table ([[graft.sources.SnapTable]]): built ONCE per
+    * (auxDir, sf) from the sf `documents` table as two commits — v1 = the
+    * `doc_id % 4 < 2` half (range-partitioned so every data file carries a
+    * tight doc_id range and manifest min/max pruning has something to skip),
+    * v2 = append of the other half — so the current snapshot equals the full
+    * table and v1 time-travels to exactly the first half. Content is fully
+    * determined by the sf tables, so an existing 2-snapshot table is reused. */
+  def snapTableFixture(spark: SparkSession, sfDir: String): String = synchronized {
+    val root = s"$auxDir/aux_snaptable_${new java.io.File(sfDir).getName}"
+    if (graft.sources.SnapTable.currentVersion(spark, root).contains(2)) return root
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val d = new java.io.File(root)
+    if (d.exists()) rm(d) // partial build (crash between commits): rebuild
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.sources.SnapTable.append(
+      docs.filter(col("doc_id") % 4 < 2).repartitionByRange(4, col("doc_id")),
+      root, statsCols = Seq("doc_id"))
+    graft.sources.SnapTable.append(
+      docs.filter(col("doc_id") % 4 >= 2).repartitionByRange(4, col("doc_id")),
+      root, statsCols = Seq("doc_id"))
+    root
+  }
+
   /** q53's scrape destination: wiped and re-seeded on EVERY call with the
     * first `seedCount` geometry tiles (by tile id) of the fixture tileset,
     * so each scrape starts from the same deterministic "some tiles already

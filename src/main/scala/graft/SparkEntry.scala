@@ -459,6 +459,27 @@ object SparkEntry {
           size(col("geometry")).as("n_coords"))
     }),
 
+    // Snapshot-table layer (the BASELINE's Iceberg analog, SnapTable):
+    // the fixture commits the documents table in two snapshots; the query
+    // reads the CURRENT snapshot, TIME-TRAVELS to v1, and runs a
+    // manifest-pruned range scan — three reads whose aggregates DuckDB
+    // recomputes from the raw documents table, so a broken manifest, a
+    // time-travel leak (v2 rows visible at v1), or an over-eager file prune
+    // each flip a row
+    "q58_snapshot_table" -> ((s, d) => {
+      val root = SmokeWorld.snapTableFixture(s, d)
+      def summarize(df: DataFrame, tag: String): DataFrame =
+        df.agg(count(lit(1)).cast("long").as("n"),
+            sum("doc_id").cast("long").as("sum_id"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .select(lit(tag).as("snap"), col("n"), col("sum_id"), col("sum_chars"))
+      summarize(graft.sources.SnapTable.scan(s, root, asOf = Some(1)), "v1")
+        .unionAll(summarize(graft.sources.SnapTable.scan(s, root), "v2"))
+        .unionAll(summarize(
+          graft.sources.SnapTable.scanRange(s, root, "doc_id", "0", "100"),
+          "v2_pruned"))
+    }),
+
     // S6: the tile scraper, end-to-end over a REAL wire-format tileset
     // served via file:// (the http(s) path is the same java.net.URL code) —
     // zoom-12 vertex cover, diff against the seeded destination listing,
@@ -974,6 +995,21 @@ object SparkEntry {
         | networklevel, "roadClass" AS road_class,
         | "endDist" - "startDist" AS len_km, n_coords
         |FROM read_parquet('__AUX__/aux_segments/*.parquet')""".stripMargin,
+
+    // snapshot-table reads graded against the raw documents table: v1 is
+    // the doc_id%4<2 commit, v2 the full table, v2_pruned the manifest-
+    // pruned range scan (semantics must equal a plain BETWEEN)
+    "q58_snapshot_table" ->
+      """SELECT 'v1' AS snap, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        | FROM documents WHERE doc_id % 4 < 2
+        |UNION ALL SELECT 'v2', CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        | FROM documents
+        |UNION ALL SELECT 'v2_pruned', CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        | FROM documents WHERE doc_id BETWEEN 0 AND 100""".stripMargin,
 
     // identical recomputation to q40: the tile-path refs must conflate to
     // the same segments the synth-path refs did

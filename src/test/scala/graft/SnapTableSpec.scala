@@ -1,0 +1,126 @@
+package graft
+
+import graft.sources.SnapTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class SnapTableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("snaptable").toString + "/t"
+
+  private def docs(from: Int, until: Int) =
+    spark.range(from, until).toDF("id")
+      .withColumn("body", concat(lit("doc-"), col("id")))
+
+  test("append + scan: snapshot grows, versions are monotone") {
+    val root = freshRoot()
+    assert(SnapTable.currentVersion(spark, root).isEmpty)
+    val v1 = SnapTable.append(docs(0, 100), root, Seq("id"))
+    assert(v1 == 1)
+    val v2 = SnapTable.append(docs(100, 250), root, Seq("id"))
+    assert(v2 == 2)
+    assert(SnapTable.scan(spark, root).count() == 250)
+    assert(SnapTable.scan(spark, root).agg(sum("id")).as[Long].head() ==
+      (0L until 250).sum)
+  }
+
+  test("time travel: an old snapshot reads exactly its committed content") {
+    val root = freshRoot()
+    SnapTable.append(docs(0, 100), root, Seq("id"))
+    SnapTable.append(docs(100, 250), root, Seq("id"))
+    SnapTable.overwrite(docs(500, 520), root, Seq("id"))
+    // v1 and v2 are untouched by both the later append and the overwrite
+    assert(SnapTable.scan(spark, root, asOf = Some(1)).count() == 100)
+    assert(SnapTable.scan(spark, root, asOf = Some(2)).count() == 250)
+    assert(SnapTable.scan(spark, root).count() == 20)
+    assert(SnapTable.scan(spark, root).agg(min("id")).as[Long].head() == 500)
+  }
+
+  test("overwrite publishes a manifest that stops referencing old files") {
+    val root = freshRoot()
+    SnapTable.append(docs(0, 100), root)
+    SnapTable.overwrite(docs(0, 10), root)
+    val m = SnapTable.manifest(spark, root, 2)
+    assert(m.operation == "overwrite")
+    val m1files = SnapTable.manifest(spark, root, 1).files.map(_.path).toSet
+    assert(m.files.map(_.path).forall(p => !m1files.contains(p)))
+  }
+
+  test("range scan prunes files by manifest min/max stats") {
+    val root = freshRoot()
+    // range-partitioned write → each data file holds a tight id range
+    SnapTable.append(docs(0, 1000).repartitionByRange(8, col("id")), root, Seq("id"))
+    val all = SnapTable.manifest(spark, root, 1).files
+    assert(all.size == 8)
+    val planned = SnapTable.plannedFiles(spark, root, "id", "0", "99")
+    assert(planned.size < all.size,
+      s"expected manifest pruning to skip files: planned ${planned.size} of ${all.size}")
+    val pruned = SnapTable.scanRange(spark, root, "id", "0", "99")
+    val brute = SnapTable.scan(spark, root).filter(col("id").between(0, 99))
+    assert(pruned.count() == 100)
+    assert(pruned.exceptAll(brute).isEmpty && brute.exceptAll(pruned).isEmpty)
+  }
+
+  test("range scan on a string column prunes lexically") {
+    val root = freshRoot()
+    val df = Seq("apple", "banana", "cherry", "kiwi", "mango", "peach", "plum", "zucchini")
+      .toDF("name").repartitionByRange(4, col("name"))
+    SnapTable.append(df, root, Seq("name"))
+    val planned = SnapTable.plannedFiles(spark, root, "name", "a", "b~")
+    assert(planned.size < SnapTable.manifest(spark, root, 1).files.size)
+    assert(SnapTable.scanRange(spark, root, "name", "a", "b~")
+      .as[String].collect().sorted.toSeq == Seq("apple", "banana"))
+  }
+
+  test("concurrent appends: the lost CAS re-merges, no rows lost or doubled") {
+    val root = freshRoot()
+    SnapTable.append(docs(0, 10), root)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(SnapTable.append(docs(100, 160), root))
+    val fb = Future(SnapTable.append(docs(200, 290), root))
+    val (va, vb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(Set(va, vb) == Set(2, 3), s"got versions $va, $vb")
+    val ids = SnapTable.scan(spark, root).select("id").as[Long].collect().sorted
+    assert(ids.toSeq == ((0L until 10) ++ (100L until 160) ++ (200L until 290)))
+    // the later manifest carries BOTH appends' files (re-merge on lost CAS)
+    assert(SnapTable.manifest(spark, root, 3).files.map(_.rows).sum == 160)
+  }
+
+  test("expire deletes dead manifests and unreferenced data files only") {
+    val root = freshRoot()
+    SnapTable.append(docs(0, 50), root)          // v1: files A
+    SnapTable.append(docs(50, 80), root)         // v2: files A+B
+    SnapTable.overwrite(docs(900, 910), root)    // v3: files C
+    val (deadManifests, deadFiles) = SnapTable.expire(spark, root, keepFrom = 3)
+    assert(deadManifests == 2)
+    assert(deadFiles > 0) // A and B are only referenced by v1/v2
+    assert(SnapTable.currentVersion(spark, root).contains(3))
+    assert(SnapTable.scan(spark, root).count() == 10)
+    intercept[IllegalArgumentException](SnapTable.scan(spark, root, asOf = Some(1)).count())
+      : Unit
+  }
+
+  test("schema rides in the manifest: scan needs no footer inference") {
+    val root = freshRoot()
+    SnapTable.append(docs(0, 5).withColumn("score", col("id") * 1.5), root)
+    val m = SnapTable.manifest(spark, root, 1)
+    assert(m.schemaDdl.contains("score"))
+    val got = SnapTable.scan(spark, root)
+    assert(got.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+}
