@@ -25,13 +25,16 @@ import org.apache.spark.sql.functions._
  */
 object Lineage {
 
-  /** Completed unit keys from the ledger (empty-safe). */
-  def completedKeys(spark: SparkSession, ledgerPath: String): DataFrame = {
-    val empty = spark.createDataFrame(
+  private def emptyKeys(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("unit_key",
           org.apache.spark.sql.types.StringType))))
+
+  /** Completed unit keys from the ledger (empty-safe). */
+  def completedKeys(spark: SparkSession, ledgerPath: String): DataFrame = {
+    val empty = emptyKeys(spark)
     try {
       val df = spark.read.parquet(ledgerPath)
       if (df.columns.contains("unit_key")) df.select("unit_key").distinct() else empty
@@ -60,6 +63,15 @@ object Lineage {
    */
   def commit(results: DataFrame, keyCol: String, resultPath: String,
       ledgerPath: String, runId: String): DataFrame = {
+    writeResults(results, keyCol, resultPath)
+    val ledger = unitMetrics(results, keyCol).withColumn("run_id", lit(runId))
+    ledger.write.mode("append").parquet(ledgerPath)
+    ledger
+  }
+
+  /** Dynamic-partition overwrite of the per-unit results (re-processing a
+    * crashed unit replaces, never duplicates). */
+  private def writeResults(results: DataFrame, keyCol: String, resultPath: String): Unit = {
     val spark = results.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -68,9 +80,55 @@ object Lineage {
     } finally {
       prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
     }
+  }
+
+  // ---- ledger-on-SnapTable variants ----------------------------------------
+  // The scaladoc above notes "on a cluster the ledger would be an Iceberg
+  // table with snapshot isolation" — these are that form, over
+  // [[graft.sources.SnapTable]]: the ledger increment lands as ONE atomic
+  // snapshot commit (create-exclusive manifest), where a bare parquet append
+  // can expose a half-written file list on object stores. Readers of the
+  // ledger are snapshot-isolated from in-flight commits, and concurrent
+  // committers of DIFFERENT unit batches serialize through the manifest CAS
+  // instead of racing the directory.
+
+  /** Completed unit keys from a SnapTable ledger (empty-safe). */
+  def completedKeysSnap(spark: SparkSession, ledgerRoot: String): DataFrame =
+    if (graft.sources.SnapTable.currentVersion(spark, ledgerRoot).isEmpty)
+      emptyKeys(spark)
+    else graft.sources.SnapTable.scan(spark, ledgerRoot)
+      .select("unit_key").distinct()
+
+  /** [[remaining]] against a SnapTable ledger. */
+  def remainingSnap(work: DataFrame, keyCol: String, ledgerRoot: String): DataFrame =
+    work.join(
+      completedKeysSnap(work.sparkSession, ledgerRoot)
+        .withColumnRenamed("unit_key", keyCol),
+      Seq(keyCol), "left_anti")
+
+  /** [[commit]] with the ledger increment landing as one atomic snapshot. */
+  def commitSnap(results: DataFrame, keyCol: String, resultPath: String,
+      ledgerRoot: String, runId: String): DataFrame = {
+    writeResults(results, keyCol, resultPath)
     val ledger = unitMetrics(results, keyCol).withColumn("run_id", lit(runId))
-    ledger.write.mode("append").parquet(ledgerPath)
+    graft.sources.SnapTable.append(ledger, ledgerRoot)
     ledger
+  }
+
+  /** [[runIncremental]] over a SnapTable ledger: identical convergence, with
+    * the commit point upgraded from "parquet files appeared" to "manifest
+    * v(N+1) exists". */
+  def runIncrementalSnap(work: DataFrame, keyCol: String, resultPath: String,
+      ledgerRoot: String, runId: String)(process: DataFrame => DataFrame): Long = {
+    val todo = remainingSnap(work, keyCol, ledgerRoot)
+    if (todo.isEmpty) 0L
+    else {
+      val out = process(todo)
+      require(out.columns.contains(keyCol),
+        s"process() must preserve the unit key column '$keyCol'")
+      commitSnap(out, keyCol, resultPath, ledgerRoot, runId)
+        .agg(sum("n_rows")).collect()(0).getLong(0)
+    }
   }
 
   /**

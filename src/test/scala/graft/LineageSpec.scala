@@ -73,4 +73,35 @@ class LineageSpec extends AnyFunSuite {
     assert(out.count() == workUnits.count())
     assert(out.select("url").distinct().count() == out.count())
   }
+
+  test("SnapTable ledger: resume converges identically, commits are snapshots") {
+    val (res1, led1) = freshDirs()
+    Lineage.runIncremental(workUnits, "unit", res1, led1, "full")(process)
+    val full = spark.read.parquet(res1)
+
+    val (res2, led2) = freshDirs()
+    val partial = workUnits.filter(col("unit").isin("road0", "road1"))
+    Lineage.runIncrementalSnap(partial, "unit", res2, led2, "run1")(process)
+    // first increment = snapshot v1
+    assert(graft.sources.SnapTable.currentVersion(spark, led2).contains(1))
+    val n2 = Lineage.runIncrementalSnap(workUnits, "unit", res2, led2, "run2")(process)
+    assert(n2 > 0 && n2 < full.count())
+    // second increment = snapshot v2; the ledger content is the SAME
+    // (unit_key, n_rows, checksum) rows the parquet-append path produces
+    assert(graft.sources.SnapTable.currentVersion(spark, led2).contains(2))
+    val l1 = spark.read.parquet(led1).select("unit_key", "n_rows", "checksum")
+    val l2 = graft.sources.SnapTable.scan(spark, led2)
+      .select("unit_key", "n_rows", "checksum")
+    assert(l1.exceptAll(l2).count() == 0 && l2.exceptAll(l1).count() == 0)
+    // results converge to the single-shot run
+    val resumed = spark.read.parquet(res2)
+    assert(resumed.exceptAll(full).count() == 0 && full.exceptAll(resumed).count() == 0)
+    // third call: nothing left, and no empty snapshot is committed
+    assert(Lineage.runIncrementalSnap(workUnits, "unit", res2, led2, "run3")(process) == 0L)
+    assert(graft.sources.SnapTable.currentVersion(spark, led2).contains(2))
+    // a ledger READER is snapshot-isolated: pinning v1 still shows exactly
+    // the first increment even after later commits
+    assert(graft.sources.SnapTable.scan(spark, led2, asOf = Some(1))
+      .select("unit_key").distinct().count() == 2)
+  }
 }
