@@ -11,6 +11,7 @@ object QBench extends App {
   private val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
   spark.sparkContext.setLogLevel("WARN")
+  if (sys.env.contains("SPARK_GRAFT_STAGE_REPORT")) ScalingBench.addStageReport(spark)
   try SparkEntry.queries("q04_central_join")(spark, sfDir).count()
   catch { case _: Throwable => }
   (1 to reps).foreach { i =>

@@ -53,7 +53,7 @@ object ScalingBench {
     * wall >> taskMax is scheduler/serial gap, and total-stage-wall far under
     * job wall is driver-side serial work between stages. Diagnostic only;
     * certified brackets run without it. */
-  private def addStageReport(spark: SparkSession): Unit =
+  def addStageReport(spark: SparkSession): Unit =
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       private val tasks =
         scala.collection.concurrent.TrieMap.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
