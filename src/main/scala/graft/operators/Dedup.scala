@@ -227,9 +227,9 @@ object Dedup {
     val estimated = pairs
       .join(prepared.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
       .join(prepared.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
-      .withColumn("__est", aggregate(
-        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / nh)
+      .withColumn("__est",
+        graft.functions.vec.sig_eq_count(col("sig_a"), col("sig_b"))
+          .cast("double") / nh)
       .filter(col("__est") >= estMin)
       .select("id_a", "id_b")
     val repPairs = estimated

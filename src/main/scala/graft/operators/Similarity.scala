@@ -50,8 +50,16 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** Sign-bit bucket id from `nPlanes` deterministic hyperplanes. */
+  /** Sign-bit bucket id from `nPlanes` deterministic hyperplanes — the
+    * codegen'd one-pass kernel (VecFn.signBuckets), bit-identical to
+    * [[lshBucketExprForm]] which it replaced as the hot path. */
   def lshBucket(vec: Column, nPlanes: Int): Column =
+    graft.functions.vec.sign_buckets(vec, nPlanes)
+
+  /** The composed higher-order form of [[lshBucket]] (nPlanes interpreted
+    * aggregate/zip_with folds per row). Kept as the independently-derived
+    * reference for the kernel-parity spec; not used on any hot path. */
+  private[graft] def lshBucketExprForm(vec: Column, nPlanes: Int): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

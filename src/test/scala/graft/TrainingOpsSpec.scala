@@ -463,4 +463,67 @@ class TrainingOpsSpec extends AnyFunSuite {
       .select("id_a", "id_b", "j").collect().map(_.toString).sorted
     assert(p1.sameElements(p2))
   }
+
+  test("sig_eq_count matches the aggregate(zip_with) fold it replaces, " +
+    "including unequal lengths and null inputs") {
+    val rows = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),       // 3 agree
+      (Seq.empty[Long], Seq(1L, 2L)),                    // empty left
+      (Seq(5L, 6L, 7L), Seq(5L, 6L)),                    // zip_with pads with null
+      (Seq(Long.MinValue, 0L), Seq(Long.MinValue, 0L))). // extremes, full agree
+      toDF("a", "b")
+      .union(Seq((null, Seq(1L)), (Seq(1L), null), (null, null))
+        .asInstanceOf[Seq[(Seq[Long], Seq[Long])]].toDF("a", "b"))
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val got = rows.select(
+      graft.functions.vec.sig_eq_count(col("a"), col("b")).as("fast"),
+      hof.as("ref")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null parity: $r")
+      if (!r.isNullAt(0)) assert(r.getInt(0) == r.getInt(1), s"value parity: $r")
+    }
+    // SQL surface (GraftExtensions injection path registers the same builder)
+    graft.functions.geo.register(spark)
+    assert(spark.sql("SELECT sig_eq_count(array(1L,2L), array(1L,3L))")
+      .first().getInt(0) == 1)
+  }
+
+  test("sign_buckets kernel is bit-identical to the composed " +
+    "xxhash64-hyperplane fold across float and double vectors") {
+    import graft.operators.Similarity
+    // deterministic pseudo-random vectors including negatives, zeros, an
+    // empty vector, and a dimension mismatch with the usual 64
+    val rng = new scala.util.Random(7)
+    val vecs: Seq[Seq[Float]] =
+      (0 until 200).map(_ => Seq.fill(64)(rng.nextFloat() * 2f - 1f)) ++
+        Seq(Seq.empty[Float], Seq(0f, -0f, 0f), Seq.fill(17)(rng.nextFloat()))
+    val df = vecs.toDF("v")
+    for (planes <- Seq(1, 8, 13)) {
+      val got = df.select(
+        Similarity.lshBucket(col("v"), planes).as("fast"),
+        Similarity.lshBucketExprForm(col("v"), planes).as("ref")).collect()
+      got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"planes=$planes: $r"))
+      // double vectors take the other element-accessor branch
+      val gotD = df.select(transform(col("v"), x => x.cast("double")).as("v"))
+        .select(Similarity.lshBucket(col("v"), planes).as("fast"),
+          Similarity.lshBucketExprForm(col("v"), planes).as("ref")).collect()
+      gotD.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"double planes=$planes: $r"))
+    }
+    // null vector: the kernel is null-intolerant → null bucket (the row
+    // falls out of the bucket equi-join), where the composed form's
+    // when(null >= 0).otherwise(0) lumped every null embedding into bucket
+    // 0 — a deliberate, pinned improvement, not an accidental divergence.
+    val nullRow = Seq((None: Option[Seq[Float]])).toDF("v")
+      .select(Similarity.lshBucket(col("v"), 8).as("fast"),
+        Similarity.lshBucketExprForm(col("v"), 8).as("ref")).first()
+    assert(nullRow.isNullAt(0) && nullRow.getLong(1) == 0L)
+    // SQL surface
+    graft.functions.geo.register(spark)
+    assert(spark.sql(
+      "SELECT sign_buckets(array(CAST(1.0 AS FLOAT)), 1)").first().getLong(0) >= 0)
+  }
 }
