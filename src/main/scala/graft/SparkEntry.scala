@@ -492,6 +492,17 @@ object SparkEntry {
         graft.sources.TileScraper.coverTiles(SmokeWorld(s).features.toDF()),
         s"file://$tiles", dest)
         .select(col("tile_id"), col("status"))
+    }),
+
+    // near-dup cluster resolution: MinHash pairs → connected components →
+    // keep-one-per-cluster over the FULL corpus. The oracle recomputes the
+    // pair graph from scratch (brute-force Jaccard, like q26) and the
+    // transitive closure with a recursive CTE, so both the pair recall AND
+    // the label-propagation fixpoint are graded against ground truth
+    "q59_dedup_components" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Dedup.nearDupKeepers(docs, "doc_id",
+        graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text"))
     })
   )
 
@@ -995,6 +1006,27 @@ object SparkEntry {
         | networklevel, "roadClass" AS road_class,
         | "endDist" - "startDist" AS len_km, n_coords
         |FROM read_parquet('__AUX__/aux_segments/*.parquet')""".stripMargin,
+
+    // ground-truth cluster grading: pairs from brute-force Jaccard (q26's
+    // oracle CTE), components as the transitive closure via recursive CTE
+    // — Spark's LSH pair recall and hash-min fixpoint must both agree
+    "q59_dedup_components" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, list_distinct(
+        |   [substr(text, CAST(i AS INT), 5) for i in range(1, greatest(length(text)-4,1)+1)]) AS sh
+        | FROM documents),
+        |p AS (SELECT id_a, id_b FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))*1.0
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id) WHERE j >= 0.7),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |r(id, reach) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT r.id, e.dst FROM r JOIN e ON e.src = r.reach)
+        |SELECT id AS doc_id, min(reach) AS comp, (min(reach) = id) AS keeper
+        |FROM r GROUP BY id""".stripMargin,
 
     // snapshot-table reads graded against the raw documents table: v1 is
     // the doc_id%4<2 commit, v2 the full table, v2_pruned the manifest-

@@ -504,4 +504,79 @@ object Dedup {
       .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
     cross.union(within)
   }
+
+  /**
+   * Connected components over an undirected pair graph — the cluster-
+   * resolution step every near-dup pipeline needs between "pairs found"
+   * and "keep one document per duplicate cluster" (pair output alone
+   * over-deletes: A~B and B~C must land in ONE cluster even when A~C was
+   * never emitted).
+   *
+   * Algorithm: hash-min label propagation — label(v) starts at v and each
+   * round takes the min over v's neighborhood's labels, to fixpoint.
+   * Rounds = graph diameter; LSH/SimHash pair graphs are unions of
+   * quasi-cliques (bucket co-membership), so diameters stay small even at
+   * web scale. For adversarially long chains the published escalation is
+   * two-phase star contraction (Kiveris et al., "Connected Components in
+   * MapReduce and Beyond", SoCC 2014, O(log²n) rounds); not needed for the
+   * dedup-cluster shape this serves.
+   *
+   * Scale shape: per round, one equi-join of the (2|E|)-row edge table
+   * (pre-partitioned on `src` once, reused every round) against the |V|-row
+   * label table plus one min-aggregation — no driver-side graph, no
+   * collect. Lineage is truncated every round with an eager
+   * `localCheckpoint` (the standard Spark iterative-algorithm discipline;
+   * without it round k's plan embeds rounds 1..k-1 and the optimizer
+   * re-walks an exponentially growing tree).
+   *
+   * Output: (id, comp) for every id present in `pairs`, comp = min id of
+   * the component. Ids absent from `pairs` are singletons — callers that
+   * need them use [[nearDupKeepers]], which left-joins the full corpus.
+   */
+  def components(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val prop = edges.join(labels.select(col("id").as("src"), col("comp")), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(prop).groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.select(col("id"), col("comp").as("__old")), "id")
+        .filter(col("comp") =!= col("__old")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    if (!converged)
+      log.warn(s"components: no fixpoint after $maxIters rounds — graph " +
+        s"diameter exceeds the near-dup cluster shape; labels are an " +
+        s"upper-bound partition (over-split, never merged wrongly)")
+    edges.unpersist()
+    labels
+  }
+
+  /**
+   * Keep-one-per-cluster resolution over the full corpus: every document
+   * gets its near-dup component id (its own id when it appears in no pair)
+   * and a `keeper` flag marking the component's min-id representative —
+   * the row a training-data pipeline retains. One broadcast-or-shuffle
+   * left join of the corpus against the (small) pair-node label table.
+   */
+  def nearDupKeepers(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = components(pairs, aCol, bCol)
+    docs.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("comp"))
+      .withColumn("keeper", col("comp") === col(idCol))
+  }
 }

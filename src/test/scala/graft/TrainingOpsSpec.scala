@@ -526,4 +526,36 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT sign_buckets(array(CAST(1.0 AS FLOAT)), 1)").first().getLong(0) >= 0)
   }
+
+  test("components: a 20-node chain converges to one cluster " +
+    "(propagation beyond clique diameter), clusters never merge wrongly") {
+    import graft.operators.Dedup
+    // chain 1-2-3-...-20 (diameter 19), plus a disjoint triangle 100/101/102
+    // and an isolated pair (200, 201)
+    val pairs = ((1L until 20L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 20L).foreach(i => assert(got(i) == 1L, s"chain node $i"))
+    Seq(100L, 101L, 102L).foreach(i => assert(got(i) == 100L))
+    Seq(200L, 201L).foreach(i => assert(got(i) == 200L))
+    assert(got.size == 25)
+  }
+
+  test("nearDupKeepers: singletons keep themselves; each cluster keeps " +
+    "exactly its min id; string ids survive") {
+    import graft.operators.Dedup
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((2L, 4L), (4L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupKeepers(docs, "doc_id", pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got === Seq((1L, 1L, true), (2L, 2L, true), (3L, 3L, true),
+      (4L, 2L, false), (5L, 5L, true), (6L, 2L, false)))
+    // string ids: component is the lexicographic min
+    val sdocs = Seq("a", "b", "c").toDF("doc_id")
+    val spairs = Seq(("c", "b")).toDF("id_a", "id_b")
+    val sgot = Dedup.nearDupKeepers(sdocs, "doc_id", spairs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).sortBy(_._1)
+    assert(sgot === Seq(("a", "a", true), ("b", "b", true), ("c", "b", false)))
+  }
 }
