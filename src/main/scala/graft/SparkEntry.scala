@@ -503,6 +503,16 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       graft.operators.Dedup.nearDupKeepers(docs, "doc_id",
         graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    }),
+
+    // same resolution through the diameter-proof star-contraction labeler
+    // (Kiveris et al. SoCC 2014) — identical ground-truth oracle, so BOTH
+    // component algorithms are driver-graded, not just spec'd
+    "q60_components_star" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Dedup.nearDupKeepers(docs, "doc_id",
+        graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text"),
+        algo = graft.operators.Dedup.componentsStar(_, _, _))
     })
   )
 
@@ -1011,6 +1021,26 @@ object SparkEntry {
     // oracle CTE), components as the transitive closure via recursive CTE
     // — Spark's LSH pair recall and hash-min fixpoint must both agree
     "q59_dedup_components" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, list_distinct(
+        |   [substr(text, CAST(i AS INT), 5) for i in range(1, greatest(length(text)-4,1)+1)]) AS sh
+        | FROM documents),
+        |p AS (SELECT id_a, id_b FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))*1.0
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id) WHERE j >= 0.7),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |r(id, reach) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT r.id, e.dst FROM r JOIN e ON e.src = r.reach)
+        |SELECT id AS doc_id, min(reach) AS comp, (min(reach) = id) AS keeper
+        |FROM r GROUP BY id""".stripMargin,
+
+    // star contraction must reach the same fixpoint as hash-min: same
+    // ground-truth closure grades both labelers
+    "q60_components_star" ->
       """WITH RECURSIVE s AS (SELECT doc_id, list_distinct(
         |   [substr(text, CAST(i AS INT), 5) for i in range(1, greatest(length(text)-4,1)+1)]) AS sh
         | FROM documents),

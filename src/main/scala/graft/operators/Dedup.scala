@@ -559,9 +559,83 @@ object Dedup {
     if (!converged)
       log.warn(s"components: no fixpoint after $maxIters rounds — graph " +
         s"diameter exceeds the near-dup cluster shape; labels are an " +
-        s"upper-bound partition (over-split, never merged wrongly)")
+        s"upper-bound partition (over-split, never merged wrongly). " +
+        s"Use componentsStar for high-diameter graphs.")
     edges.unpersist()
     labels
+  }
+
+  /**
+   * Connected components by alternating star contraction — the O(log²n)-
+   * round escalation for graphs whose diameter defeats per-round label
+   * propagation (adversarially long chains; [[components]] needs diameter
+   * rounds, this needs ~log² rounds regardless of shape). Clean-room
+   * implementation of the two-phase algorithm of Kiveris, Lattanzi,
+   * Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+   * and Beyond" (ACM SoCC 2014): each round rewires the edge set itself
+   * rather than propagating labels across it —
+   *
+   *  - large-star: every node connects its strictly-larger neighbors to
+   *    the minimum of its closed neighborhood;
+   *  - small-star: with edges directed larger→smaller, every node collapses
+   *    its smaller neighbors (and itself) onto their minimum.
+   *
+   * Both halves are one groupBy-min plus one equi-join over the edge table
+   * — no driver-side graph, no collect; lineage truncated per round with an
+   * eager localCheckpoint like [[components]]. At fixpoint the edge set is
+   * a union of stars centered on each component's min id, which reads out
+   * as the (id, comp) label table directly. Ordering only needs a total
+   * order on ids, so string ids work (lexicographic min becomes the
+   * representative).
+   *
+   * Output: (id, comp) for every id present in `pairs` — same contract as
+   * [[components]]; singletons are the caller's left-join (see
+   * [[nearDupKeepers]]).
+   */
+  def componentsStar(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIters: Int = 30): DataFrame = {
+    // canonical form: u > v, no self-loops, distinct
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+    val ids = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct()
+      .localCheckpoint(true)
+    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters && !edges.isEmpty) {
+      // large-star: neighborhoods from both directions; m = min(N(x) ∪ {x});
+      // emit (n, m) for the strictly-larger neighbors n > x
+      val nbrs = edges.select(col("u").as("x"), col("v").as("n"))
+        .union(edges.select(col("v").as("x"), col("u").as("n")))
+      val mins = nbrs.groupBy("x")
+        .agg(min("n").as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val large = canon(nbrs.join(mins, "x").filter(col("n") > col("x"))
+        .select(col("n").as("u"), col("m").as("v")))
+      // small-star on the canonical (u > v) form: S(u) = smaller neighbors,
+      // m = min(S(u)); rewire every v ∈ S(u) and u itself onto m
+      val smins = large.groupBy("u").agg(min("v").as("m"))
+      val small = canon(
+        large.join(smins, "u").select(col("v").as("u"), col("m").as("v"))
+          .union(smins.select(col("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      val diff = small.exceptAll(edges).limit(1).count() +
+        edges.exceptAll(small).limit(1).count()
+      converged = diff == 0L
+      edges = small
+      iter += 1
+    }
+    if (!converged && !edges.isEmpty)
+      log.warn(s"componentsStar: no fixpoint after $maxIters rounds " +
+        s"(log²-round bound exceeded — should not happen below ~2^${maxIters / 6} nodes)")
+    // fixpoint edges are stars (nonRoot > root); roots label themselves
+    ids.join(edges.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .groupBy("id").agg(min(coalesce(col("comp"), col("id"))).as("comp"))
   }
 
   /**
@@ -570,10 +644,15 @@ object Dedup {
    * and a `keeper` flag marking the component's min-id representative —
    * the row a training-data pipeline retains. One broadcast-or-shuffle
    * left join of the corpus against the (small) pair-node label table.
+   * `algo` picks the component labeler: [[components]] (default — right
+   * for the quasi-clique near-dup shape) or [[componentsStar]] (diameter-
+   * proof); both emit the identical (id, comp=min-id) contract.
    */
   def nearDupKeepers(docs: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val comp = components(pairs, aCol, bCol)
+      aCol: String = "id_a", bCol: String = "id_b",
+      algo: (DataFrame, String, String) => DataFrame =
+        components(_, _, _)): DataFrame = {
+    val comp = algo(pairs, aCol, bCol)
     docs.select(col(idCol).as("id"))
       .join(comp, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("comp"))

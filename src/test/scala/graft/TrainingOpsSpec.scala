@@ -542,6 +542,31 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.size == 25)
   }
 
+  test("componentsStar: 200-node chain (diameter 199) resolves in log²-" +
+    "bounded rounds; agrees with hash-min on a seeded random graph") {
+    import graft.operators.Dedup
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.componentsStar(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200)
+    (1L to 200L).foreach(i => assert(got(i) == 1L, s"chain node $i"))
+    // seeded random graph: star contraction and hash-min must produce the
+    // exact same partition (both label each component with its min id)
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(150)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val star = Dedup.componentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+    // string ids: lexicographic min becomes the representative
+    val sgot = Dedup.componentsStar(Seq(("c", "b"), ("b", "a"), ("x", "y"))
+      .toDF("id_a", "id_b")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sgot === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("nearDupKeepers: singletons keep themselves; each cluster keeps " +
     "exactly its min id; string ids survive") {
     import graft.operators.Dedup
