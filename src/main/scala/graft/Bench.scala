@@ -105,6 +105,11 @@ object Bench {
         // the measured q51 times the tile-read + conflate path, not fixture
         // construction
         SparkEntry.queries("q51_tile_conflation")(spark, sfDir).count()
+        // one-time snapshot-table build (two document-table commits,
+        // disk-memoized afterwards): the measured q58 times the three
+        // snapshot reads — current, time-travel, manifest-pruned — not the
+        // fixture's writes
+        SmokeWorld.snapTableFixture(spark, sfDir)
       } catch { case e: Throwable => System.err.println(s"[bench] warm-up: $e") }
       (System.nanoTime() - t0) / 1e9
     }
