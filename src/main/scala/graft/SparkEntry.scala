@@ -196,10 +196,15 @@ object SparkEntry {
       val en = Seq("the", "and", "of", "to", "in", "is", "that")
       val de = Seq("der", "die", "und", "das", "ist", "nicht", "ein")
       val es = Seq("el", "la", "de", "que", "los", "es", "una")
-      def hits(sw: Seq[String]) =
-        size(filter(col("words"), w => w.isInCollection(sw)))
+      // one-pass codegen'd kernel over all three stopword profiles; the
+      // composed `filter(words, w.isInCollection(set))`-per-language form
+      // it replaces is pinned bit-identical in TrainingOpsSpec
       toks.select(col("doc_id"), col("lang"),
-          hits(en).as("en_hits"), hits(de).as("de_hits"), hits(es).as("es_hits"))
+          graft.functions.text.stopword_hits(col("words"),
+            Seq(en, de, es)).as("h"))
+        .select(col("doc_id"), col("lang"),
+          col("h").getItem(0).as("en_hits"), col("h").getItem(1).as("de_hits"),
+          col("h").getItem(2).as("es_hits"))
         .withColumn("pred_lang",
           when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits"), "en")
             .when(col("de_hits") >= col("es_hits"), "de").otherwise("es"))

@@ -114,7 +114,20 @@ object geo {
     ("tile_y", 2, { case Seq(a, b) => TileY(a, b) }),
     ("cosine_sim", 2, { case Seq(a, b) => CosineSim(a, b) }),
     ("sig_eq_count", 2, { case Seq(a, b) => SigEqCount(a, b) }),
-    ("sign_buckets", 2, { case Seq(a, b) => SignBuckets(a, b) }))
+    ("sign_buckets", 2, { case Seq(a, b) => SignBuckets(a, b) }),
+    // the stopword sets are part of the plan, not the row: SQL callers pass
+    // a foldable array(array(...)) literal, folded to plain strings here
+    ("stopword_hits", 2, { case Seq(w, s) =>
+      require(s.foldable && s.resolved,
+        "stopword_hits expects a foldable array<array<string>> set literal")
+      val folded = s.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val sets = (0 until folded.numElements()).map { i =>
+        val inner = folded.getArray(i)
+        (0 until inner.numElements())
+          .map(j => inner.getUTF8String(j).toString): Seq[String]
+      }: Seq[Seq[String]]
+      StopwordHits(w, sets)
+    }))
 
   /** Wrap a builder with an arity check (MatchError → readable error). */
   private[graft] def checkedBuilder(name: String, arity: Int,

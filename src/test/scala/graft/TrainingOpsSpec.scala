@@ -567,6 +567,46 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(sgot === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("stopword_hits kernel matches the per-set filter(isInCollection) " +
+    "form: overlaps, nulls, empties, duplicate set entries") {
+    val en = Seq("the", "and", "of")
+    val de = Seq("der", "die", "the")          // "the" overlaps en on purpose
+    val dup = Seq("of", "of", "")              // duplicate entry + empty string
+    val sets = Seq(en, de, dup)
+    val rows = Seq(
+      Seq("the", "die", "of", "x", "the"),     // overlaps + repeats
+      Seq.empty[String],                       // empty words array
+      Seq("", "zzz"),                          // empty-string word hits dup's ""
+      Seq("der", "DIE")).toDF("words")         // case must NOT fold here
+      .union(Seq(null.asInstanceOf[Seq[String]]).toDF("words"))
+      .union(Seq(Seq("the", null, "and")).toDF("words")) // null element
+    def composed(sw: Seq[String]) =
+      size(filter(col("words"), w => w.isInCollection(sw)))
+    val got = rows.select(
+      graft.functions.text.stopword_hits(col("words"), sets).as("fast"),
+      array(composed(en), composed(de), composed(dup)).as("ref")).collect()
+    got.foreach { r =>
+      if (r.isNullAt(0)) {
+        // null words array: the null-intolerant kernel yields null where the
+        // composed per-set form yields an array of per-set nulls — same
+        // information, and the kernel's null propagates cleanly through
+        // getItem() in q24 exactly as the composed columns did
+        assert(r.getSeq[Any](1).forall(_ == null), s"null parity: $r")
+      } else assert(r.getSeq[Int](0) == r.getSeq[Int](1), s"value parity: $r")
+    }
+    // SQL surface: the set literal folds into the plan
+    graft.functions.geo.register(spark)
+    assert(spark.sql("SELECT stopword_hits(array('a','b','a'), " +
+        "array(array('a'), array('b','c')))")
+      .first().getSeq[Int](0) == Seq(2, 1))
+    // non-foldable set argument is rejected loudly, not silently wrong
+    val err = intercept[Exception] {
+      spark.sql("SELECT stopword_hits(array('a'), array(array(string(rand()))))")
+        .collect()
+    }
+    assert(err.getMessage.contains("foldable"), err.getMessage)
+  }
+
   test("nearDupKeepers: singletons keep themselves; each cluster keeps " +
     "exactly its min id; string ids survive") {
     import graft.operators.Dedup
