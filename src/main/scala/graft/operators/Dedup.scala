@@ -552,6 +552,8 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.join(labels.select(col("id"), col("comp").as("__old")), "id")
         .filter(col("comp") =!= col("__old")).limit(1).count()
+      // generation k is materialized and probed — release k−1's blocks
+      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(labels)
       labels = next
       converged = changed == 0L
       iter += 1
@@ -605,9 +607,14 @@ object Dedup {
       .localCheckpoint(true)
     var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
       .localCheckpoint(true)
+    // count carried across rounds: both generations are canonical (distinct)
+    // sets, so equal counts + an empty one-sided anti-join probe proves set
+    // equality — one tiny job per round instead of isEmpty + two exceptAll
+    // scans, and the probe itself only runs on rounds where the counts match
+    var edgeCount = edges.count()
     var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters && !edges.isEmpty) {
+    var converged = edgeCount == 0L
+    while (!converged && iter < maxIters) {
       // large-star: neighborhoods from both directions; m = min(N(x) ∪ {x});
       // emit (n, m) for the strictly-larger neighbors n > x
       val nbrs = edges.select(col("u").as("x"), col("v").as("n"))
@@ -624,13 +631,16 @@ object Dedup {
         large.join(smins, "u").select(col("v").as("u"), col("m").as("v"))
           .union(smins.select(col("u"), col("m").as("v"))))
         .localCheckpoint(true)
-      val diff = small.exceptAll(edges).limit(1).count() +
-        edges.exceptAll(small).limit(1).count()
-      converged = diff == 0L
+      val smallCount = small.count()
+      converged = smallCount == edgeCount &&
+        small.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // generation k is materialized and probed — release k−1's blocks
+      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(edges)
       edges = small
+      edgeCount = smallCount
       iter += 1
     }
-    if (!converged && !edges.isEmpty)
+    if (!converged && edgeCount > 0L)
       log.warn(s"componentsStar: no fixpoint after $maxIters rounds " +
         s"(log²-round bound exceeded — should not happen below ~2^${maxIters / 6} nodes)")
     // fixpoint edges are stars (nonRoot > root); roots label themselves
