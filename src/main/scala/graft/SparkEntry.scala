@@ -518,6 +518,30 @@ object SparkEntry {
       graft.operators.Dedup.nearDupKeepers(docs, "doc_id",
         graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text"),
         algo = graft.operators.Dedup.componentsStar(_, _, _))
+    }),
+
+    // html → text extraction (north-star invariant: byte-identical extracted
+    // text per url). The fixture wraps each document's text in a page with a
+    // script block (containing a raw '<'), a style block, a comment, and
+    // entity-escaped text, renders it to BINARY utf-8 — the input_hint's
+    // html:binary shape — and the single-pass html_text kernel must recover
+    // the text EXACTLY. The oracle rebuilds the same page in DuckDB and
+    // strips it with the composed regexp/replace chain, so both the
+    // extraction semantics and the byte-identity flag are ground-truth-graded
+    "q61_html_extract" -> ((s, d) => {
+      import graft.functions.text.html_text
+      val esc = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      val page = concat(
+        lit("<html><head><script type=\"text/javascript\">if (1 < 2) { s = \"&x\"; }</script>"),
+        lit("<style>p > em { color: red }</style><!-- doc "),
+        col("doc_id").cast("string"),
+        lit(" --></head><body><h1 class=\"t\">"), esc,
+        lit("</h1></body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"), encode(page, "UTF-8").as("html"))
+        .select(col("doc_id"), html_text(col("html")).as("text_x"),
+          (html_text(col("html")) === col("text")).as("ok"))
     })
   )
 
@@ -1132,6 +1156,32 @@ object SparkEntry {
         |FROM cover c
         |LEFT JOIN seeded s ON c.tile_id = s.tile_id
         |LEFT JOIN remote r ON c.tile_id = r.tile_id
-        |WHERE s.tile_id IS NULL""".stripMargin
+        |WHERE s.tile_id IS NULL""".stripMargin,
+
+    // the oracle rebuilds the identical page string, then strips it with the
+    // composed regexp/replace chain (script/style blocks whole, comments,
+    // tags, then entities — &amp; LAST so escaped sequences survive the
+    // earlier passes exactly like the scanner's left-to-right decode)
+    "q61_html_extract" ->
+      """WITH h AS (
+        | SELECT doc_id, text,
+        |  '<html><head><script type="text/javascript">if (1 < 2) { s = "&x"; }</script>'
+        |  || '<style>p > em { color: red }</style><!-- doc '
+        |  || CAST(doc_id AS VARCHAR) || ' --></head><body><h1 class="t">'
+        |  || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+        |  || '</h1></body></html>' AS page
+        | FROM documents),
+        |x AS (
+        | SELECT doc_id, text,
+        |  replace(replace(replace(replace(replace(
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(page,
+        |    '<script[^>]*>.*?</script[^>]*>', '', 'g'),
+        |    '<style[^>]*>.*?</style[^>]*>', '', 'g'),
+        |    '<!--.*?-->', '', 'g'),
+        |    '<[^>]*>', '', 'g'),
+        |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+        |   '&amp;', '&') AS text_x
+        | FROM h)
+        |SELECT doc_id, text_x, (text_x = text) AS ok FROM x""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.Shim.{col => toCol, expr => toExpr}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -65,6 +65,138 @@ object TextFn {
       new GenericArrayData(counts)
     }
   }
+
+  // --- html_text: single-pass HTML → text extraction ----------------------
+  //
+  // The north-star invariant is "byte-identical extracted text per url":
+  // pages arrive as UTF-8 html BINARY and the engine must recover the text
+  // content exactly. One pass over the raw bytes — no regexp backtracking,
+  // no intermediate string materialization per stripping stage (the composed
+  // built-in form runs 4 regexp_replace passes + 5 replace passes, each
+  // materializing a full copy of a multi-KB page; at 10^12 pages that is 9
+  // allocations and 9 scans per page vs 1 here). ASCII-only control bytes
+  // ('<', '&', '>') never appear inside UTF-8 multi-byte sequences, so the
+  // byte-level scan is multi-byte safe and non-ASCII text passes through
+  // verbatim.
+  //
+  // Semantics (pinned by TrainingOpsSpec parity + round-trip property):
+  //  - <script ...>…</script ...> and <style ...>…</style ...> are removed
+  //    whole, INCLUDING content (tag names ASCII case-insensitive, followed
+  //    by '>', '/', or whitespace); an unclosed block is consumed to EOF.
+  //  - <!-- … --> comments are removed; unclosed comments consume to EOF.
+  //  - every other <…> tag is removed; an unclosed trailing '<' consumes to
+  //    EOF (the composed regexp form leaves unclosed tags in place — the
+  //    one documented divergence, covered by spec, never by the oracle's
+  //    well-formed fixture).
+  //  - entities decode left-to-right non-overlapping: &amp; &lt; &gt;
+  //    &quot; &apos; plus decimal &#N; for 1 ≤ N ≤ 127; anything else after
+  //    '&' (including &#x hex and super-ASCII refs) passes through verbatim,
+  //    preserving bytes.
+  //  - text content between tags is copied verbatim — NO whitespace
+  //    collapse, which is what makes extract(wrap(text)) == text hold
+  //    byte-identically.
+
+  private def asciiLower(c: Byte): Byte =
+    if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+
+  /** b[i..) starts with `lit` (ASCII, lowercase), case-insensitively. */
+  private def matchesIC(b: Array[Byte], i: Int, lit: String): Boolean = {
+    if (i + lit.length > b.length) return false
+    var k = 0
+    while (k < lit.length) {
+      if (asciiLower(b(i + k)) != lit.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  private def isNameEnd(c: Byte): Boolean =
+    c == '>' || c == '/' || c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  /** Position just past the next '>' at/after i, or EOF. */
+  private def skipPastGt(b: Array[Byte], i0: Int): Int = {
+    var i = i0
+    while (i < b.length && b(i) != '>') i += 1
+    if (i < b.length) i + 1 else i
+  }
+
+  /** Position just past `close` + its tag's '>' (e.g. close = "</script"),
+    * searching case-insensitively from i0; EOF if never closed. */
+  private def skipElement(b: Array[Byte], i0: Int, close: String): Int = {
+    var i = i0
+    while (i < b.length) {
+      if (b(i) == '<' && matchesIC(b, i, close)) return skipPastGt(b, i + close.length)
+      i += 1
+    }
+    i
+  }
+
+  /** Position just past "-->" from i0, or EOF. */
+  private def skipComment(b: Array[Byte], i0: Int): Int = {
+    var i = i0
+    while (i + 2 < b.length) {
+      if (b(i) == '-' && b(i + 1) == '-' && b(i + 2) == '>') return i + 3
+      i += 1
+    }
+    b.length
+  }
+
+  /** Decode an entity at b(i)=='&': returns (consumedLen << 8) | byte,
+    * or -1 when not a recognized entity (caller copies '&' verbatim). */
+  private def entityAt(b: Array[Byte], i: Int): Int = {
+    def lit(s: String, c: Char): Int =
+      if (matchesIC(b, i, s)) ((s.length << 8) | c.toInt) else -1
+    if (i + 1 >= b.length) return -1
+    b(i + 1) match {
+      case 'a' | 'A' =>
+        val r = lit("&amp;", '&'); if (r != -1) r else lit("&apos;", '\'')
+      case 'l' | 'L' => lit("&lt;", '<')
+      case 'g' | 'G' => lit("&gt;", '>')
+      case 'q' | 'Q' => lit("&quot;", '"')
+      case '#' =>
+        var j = i + 2
+        var v = 0
+        while (j < b.length && b(j) >= '0' && b(j) <= '9' && v <= 127) {
+          v = v * 10 + (b(j) - '0'); j += 1
+        }
+        if (j > i + 2 && j < b.length && b(j) == ';' && v >= 1 && v <= 127)
+          (((j + 1 - i) << 8) | v)
+        else -1
+      case _ => -1
+    }
+  }
+
+  /** The scanner over raw UTF-8 bytes; output can only shrink. */
+  def htmlExtractBytes(b: Array[Byte]): UTF8String = {
+    val n = b.length
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == '<') {
+        if (matchesIC(b, i + 1, "script") &&
+            (i + 7 >= n || isNameEnd(b(i + 7))))
+          i = skipElement(b, i + 7, "</script")
+        else if (matchesIC(b, i + 1, "style") &&
+            (i + 6 >= n || isNameEnd(b(i + 6))))
+          i = skipElement(b, i + 6, "</style")
+        else if (matchesIC(b, i + 1, "!--"))
+          i = skipComment(b, i + 4)
+        else
+          i = skipPastGt(b, i + 1)
+      } else if (c == '&') {
+        val e = entityAt(b, i)
+        if (e == -1) { out(o) = c; o += 1; i += 1 }
+        else { out(o) = (e & 0xff).toByte; o += 1; i += (e >> 8) }
+      } else {
+        out(o) = c; o += 1; i += 1
+      }
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
+  def htmlExtract(s: UTF8String): UTF8String = htmlExtractBytes(s.getBytes)
 }
 
 /**
@@ -103,8 +235,43 @@ case class StopwordHits(child: Expression, sets: Seq[Seq[String]])
     copy(child = c)
 }
 
+/**
+ * html_text(html) over a BINARY (UTF-8 page bytes) or STRING column: the
+ * extracted text content (see [[TextFn.htmlExtractBytes]] for the exact
+ * semantics). Binary input is the zero-copy path — the scanner reads the
+ * parquet byte array directly, with no decode-to-string materialization
+ * (input_hint: pages carry `html:binary`; the text must come back
+ * byte-identical per url).
+ */
+case class HtmlText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "html_text"
+
+  // checked lazily (child is unresolved at construction, like CosineSim)
+  private def isBinary: Boolean = child.dataType match {
+    case BinaryType => true
+    case StringType => false
+    case t => throw new IllegalArgumentException(
+      s"html_text wants binary|string, got $t")
+  }
+
+  protected override def nullSafeEval(h: Any): Any =
+    if (isBinary) TextFn.htmlExtractBytes(h.asInstanceOf[Array[Byte]])
+    else TextFn.htmlExtract(h.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isBinary) "htmlExtractBytes" else "htmlExtract"
+    defineCodeGen(ctx, ev, h => s"graft.functions.TextFn.$fn($h)")
+  }
+
+  protected override def withNewChildInternal(c: Expression): HtmlText =
+    copy(child = c)
+}
+
 /** Column API for the text kernels (`import graft.functions.text._`). */
 object text {
   def stopword_hits(words: Column, sets: Seq[Seq[String]]): Column =
     toCol(StopwordHits(toExpr(words), sets))
+  def html_text(html: Column): Column = toCol(HtmlText(toExpr(html)))
 }

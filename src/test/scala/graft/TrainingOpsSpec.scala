@@ -623,4 +623,91 @@ class TrainingOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).sortBy(_._1)
     assert(sgot === Seq(("a", "a", true), ("b", "b", true), ("c", "b", false)))
   }
+
+  // --- html_text: the north-star byte-identity extraction kernel ----------
+
+  private def htmlX(s: String): String = {
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.functions.TextFn.htmlExtract(UTF8String.fromString(s)).toString
+  }
+
+  test("html_text: escape→wrap→extract round-trips ANY text byte-identically") {
+    val nasty = Seq(
+      "plain words", "", "a < b && c > d", "&amp; already escaped",
+      "tag <script>alert(1)</script> inside text",
+      "quotes \" and ' stay", "tab\tnewline\n  doubled  spaces preserved",
+      "ünïcödé — 中文 🚀 ≤≥", "&#39; literal numeric ref", "trailing amp &",
+      "&lt;&gt;&quot;&apos;&amp;", "<", ">", "&", "a&b<c>d\"e'f")
+    for (t <- nasty) {
+      val esc = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      val page = "<html><head><script>if (1 < 2) x(\"&\");</script>" +
+        "<style>p > em {}</style><!-- c --></head><body><p>" + esc +
+        "</p></body></html>"
+      assert(htmlX(page) == t, s"round-trip broke for: $t")
+    }
+  }
+
+  test("html_text: script/style whole-block removal, comments, entities, " +
+    "unclosed structures, case-insensitive tags") {
+    // script/style content (incl. raw '<' and '&') is removed whole
+    assert(htmlX("a<script type=\"t\">1 < 2 && x</script>b") == "ab")
+    assert(htmlX("a<style>p > em { }</style>b") == "ab")
+    // tag-name terminator required: <scriptx> is a generic tag, not a block
+    assert(htmlX("a<scriptx>keep</scriptx>b") == "akeepb")
+    // ASCII case-insensitive tags and entities
+    assert(htmlX("a<SCRIPT>drop</SCRIPT>b<BR/>c") == "abc")
+    assert(htmlX("x&AMP;y&LT;z") == "x&y<z")
+    // comments, incl. tag-looking content
+    assert(htmlX("a<!-- <p>not text</p> -->b") == "ab")
+    // unclosed block/comment/tag consume to EOF (documented divergence
+    // from the oracle's regexp form, which only sees well-formed pages)
+    assert(htmlX("a<script>never closed") == "a")
+    assert(htmlX("a<!-- never closed") == "a")
+    assert(htmlX("a<p never closed") == "a")
+    // decimal numeric refs in 1..127 decode; everything else is verbatim
+    assert(htmlX("&#65;&#97;&#32;&#39;") == "Aa '")
+    assert(htmlX("&#128;&#0;&#999;&#x41;&#;&# ;&zzz;&") ==
+      "&#128;&#0;&#999;&#x41;&#;&# ;&zzz;&")
+    // left-to-right non-overlapping decode: &amp;lt; is a LITERAL "&lt;"
+    assert(htmlX("&amp;lt;") == "&lt;")
+    // text content is verbatim — no whitespace collapse between tags
+    assert(htmlX("<p>a</p> \n <p>b</p>") == "a \n b")
+  }
+
+  test("html_text: binary zero-copy path + codegen plan parity with the " +
+    "composed regexp/replace chain on the fixture corpus") {
+    import graft.functions.text.html_text
+    val esc = replace(replace(replace(col("text"),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val page = concat(
+      lit("<html><head><script type=\"text/javascript\">if (1 < 2) { s = \"&x\"; }</script>"),
+      lit("<style>p > em { color: red }</style><!-- doc "),
+      col("doc_id").cast("string"),
+      lit(" --></head><body><h1 class=\"t\">"), esc, lit("</h1></body></html>"))
+    val pages = docs.select(col("doc_id"), col("text"),
+      encode(page, "UTF-8").as("html")).cache()
+    // kernel over BINARY input (the input_hint html:binary shape)
+    val kernel = pages.select(col("doc_id"), html_text(col("html")).as("tx"))
+    // composed Spark built-in chain over the decoded string
+    val composed = pages.select(col("doc_id"),
+      replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          decode(col("html"), "UTF-8"),
+          "<script[^>]*>.*?</script[^>]*>", ""),
+          "<style[^>]*>.*?</style[^>]*>", ""),
+          "<!--.*?-->", ""),
+          "<[^>]*>", ""),
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
+        lit("&amp;"), lit("&")).as("tx"))
+    assert(kernel.exceptAll(composed).isEmpty && composed.exceptAll(kernel).isEmpty)
+    // and the invariant itself: extraction recovers `text` byte-identically
+    assert(pages.join(kernel, "doc_id")
+      .filter(col("tx") =!= col("text")).isEmpty)
+    // the kernel stays inside whole-stage codegen (no interpreted fallback —
+    // "*(n)" is the codegen-stage marker on the projection)
+    val plan = kernel.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("html_text"), plan)
+    pages.unpersist()
+  }
 }
