@@ -542,7 +542,36 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), encode(page, "UTF-8").as("html"))
         .select(col("doc_id"), html_text(col("html")).as("text_x"),
           (html_text(col("html")) === col("text")).as("ok"))
-    })
+    }),
+
+    // deterministic train/val/test holdout: md5-bucketed, zero-shuffle pure
+    // projection — split membership is a function of the key alone, so
+    // reruns, resumes, and backfills assign every document identically
+    "q62_hash_split" -> ((s, d) =>
+      graft.operators.TrainingSplits.hashSplit(
+        t(s, d, "documents"),
+        concat_ws("|", col("source"), col("doc_id").cast("string")),
+        Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("bucket"), col("split"))),
+
+    // stratified top-k per language in md5 order — the salted two-level
+    // window plan (no single-task stratum) must equal the oracle's straight
+    // one-window SQL form exactly
+    "q63_stratified_sample" -> ((s, d) =>
+      graft.operators.TrainingSplits.stratifiedSample(
+        t(s, d, "documents"), Seq("lang"),
+        concat_ws("|", col("source"), col("doc_id").cast("string")), k = 25)
+        .select(col("lang"), col("doc_id"), col("rn"))),
+
+    // next-fit sequence packing into 512-token bins within 8 md5 shards;
+    // the oracle replays the sequential packing state machine per shard
+    // with a recursive CTE over the same md5 ordering
+    "q64_sequence_pack" -> ((s, d) =>
+      graft.operators.TrainingSplits.packSequences(
+        t(s, d, "documents"),
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")),
+        capacity = 512, nShards = 8))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1182,6 +1211,52 @@ object SparkEntry {
         |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
         |   '&amp;', '&') AS text_x
         | FROM h)
-        |SELECT doc_id, text_x, (text_x = text) AS ok FROM x""".stripMargin
+        |SELECT doc_id, text_x, (text_x = text) AS ok FROM x""".stripMargin,
+
+    // same md5-bucket derivation from the key alone: first 6 hex digits as
+    // an integer, mod 100, percent-granular cumulative ranges
+    "q62_hash_split" ->
+      """SELECT doc_id, bucket,
+        | CASE WHEN bucket < 90 THEN 'train'
+        |      WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 6))
+        |    AS BIGINT) % 100 AS bucket
+        | FROM documents)""".stripMargin,
+
+    // the STRAIGHT one-window form — grades that the salted two-level plan
+    // returns exactly the naive semantics
+    "q63_stratified_sample" ->
+      """SELECT lang, doc_id, rn FROM (
+        | SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)),
+        |             source || '|' || CAST(doc_id AS VARCHAR)) AS rn
+        | FROM documents) WHERE rn <= 25""".stripMargin,
+
+    // replay of the next-fit state machine: same md5 shard + order, a
+    // recursive CTE carrying (bin, used) down each shard's row chain
+    "q64_sequence_pack" ->
+      """WITH RECURSIVE d AS (
+        | SELECT CAST(doc_id AS VARCHAR) AS key,
+        |  CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 8
+        |    AS shard,
+        |  md5(CAST(doc_id AS VARCHAR)) AS ord
+        | FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY ord, key)
+        |        AS rn FROM d),
+        |p(shard, rn, key, n_tokens, bin, used) AS (
+        | SELECT shard, rn, key, n_tokens, CAST(0 AS BIGINT), n_tokens
+        | FROM r WHERE rn = 1
+        | UNION ALL
+        | SELECT r2.shard, r2.rn, r2.key, r2.n_tokens,
+        |  CASE WHEN p.used + r2.n_tokens <= 512 THEN p.bin ELSE p.bin + 1 END,
+        |  CASE WHEN p.used + r2.n_tokens <= 512 THEN p.used + r2.n_tokens
+        |       ELSE r2.n_tokens END
+        | FROM p JOIN r r2 ON r2.shard = p.shard AND r2.rn = p.rn + 1)
+        |SELECT shard, key, n_tokens, bin FROM p""".stripMargin
   )
 }

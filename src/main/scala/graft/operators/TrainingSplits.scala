@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-set assembly operators: deterministic holdout splits, skew-safe
+ * stratified sampling, and fixed-token-budget sequence packing — the three
+ * ops that turn a deduped document corpus into model-ready shards.
+ *
+ * All three are deterministic functions of the data (md5-keyed, no RNG, no
+ * Date.now), so reruns and resumed jobs assign every document identically —
+ * the same property the lineage ledger relies on elsewhere.
+ */
+object TrainingSplits {
+
+  /** md5-derived bucket in [0, buckets): the first 6 hex digits parsed as an
+    * integer. md5 (not xxhash64) so external systems — and the DuckDB
+    * oracles — can reproduce assignments from the key alone. */
+  private def md5Bucket(key: Column, buckets: Int): Column =
+    conv(substr(md5(key.cast("string")), lit(1), lit(6)), 16, 10)
+      .cast("long") % buckets
+
+  /**
+   * Deterministic train/val/test split. Every row gains `bucket` (stable
+   * hash bucket of the key) and `split` (the named slice whose cumulative
+   * weight range contains the bucket). Zero shuffle, zero state: split
+   * membership is a pure projection, so it survives any re-partitioning,
+   * resume, or backfill without drift — the property that matters when the
+   * holdout must stay clean across 10^12 documents and months of reruns.
+   *
+   * Weights must sum to 1; ranges are whole buckets (rounded cumulative),
+   * so with the default 100 buckets weights are percent-granular.
+   */
+  def hashSplit(
+      df: DataFrame,
+      key: Column,
+      weights: Seq[(String, Double)],
+      buckets: Int = 100): DataFrame = {
+    require(weights.nonEmpty, "hashSplit: at least one split")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"hashSplit: weights must sum to 1, got ${weights.map(_._2).sum}")
+    val hi = weights.scanLeft(0.0)(_ + _._2).tail
+      .map(w => math.round(w * buckets).toInt)
+    val bucket = md5Bucket(key, buckets)
+    val split = weights.map(_._1).zip(hi).init
+      .foldRight(lit(weights.last._1): Column) { case ((name, h), acc) =>
+        when(bucket < h, name).otherwise(acc)
+      }
+    df.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
+  /**
+   * Deterministic stratified top-k sample: exactly min(k, |stratum|) rows
+   * per stratum, chosen and ranked by md5(key) — a fixed pseudo-random
+   * order reproducible by any engine.
+   *
+   * Scale shape: a naive `row_number() OVER (PARTITION BY strata)` puts an
+   * entire stratum in one task — strata are few and huge at corpus scale
+   * (think lang='en' over Common Crawl), the classic hot-partition killer.
+   * Instead rows are salted into `salts` sub-partitions, each sub-partition
+   * keeps its local top-k, and only the ≤ salts×k survivors per stratum
+   * enter the global ranking window. Every global top-k row has local rank
+   * ≤ its global rank ≤ k in its own salt, so the survivor set provably
+   * contains the global top-k — the result is EXACTLY the naive window's
+   * (the q63 oracle grades the salted plan against the straight SQL form).
+   */
+  def stratifiedSample(
+      df: DataFrame,
+      strata: Seq[String],
+      key: Column,
+      k: Int,
+      salts: Int = 64): DataFrame = {
+    val salted = df
+      .withColumn("__key", key.cast("string"))
+      .withColumn("__ord", md5(col("__key")))
+      .withColumn("__salt", pmod(xxhash64(col("__key")), lit(salts.toLong)))
+    val local = Window
+      .partitionBy((strata.map(col) :+ col("__salt")): _*)
+      .orderBy(col("__ord"), col("__key"))
+    val global = Window
+      .partitionBy(strata.map(col): _*)
+      .orderBy(col("__ord"), col("__key"))
+    salted
+      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= k)
+      .withColumn("rn", row_number().over(global)).filter(col("rn") <= k)
+      .drop("__ord", "__key", "__salt", "__lr")
+  }
+
+  /**
+   * Next-fit sequence packing: assign documents to fixed-token-budget bins
+   * (training batches) within deterministic shards. Documents are sharded
+   * by md5(key) % nShards, ordered inside a shard by md5(key) — a stable
+   * pseudo-random order, which is what training wants (adjacent-document
+   * correlation broken) — and packed next-fit: a running token total per
+   * bin, a new bin when the next document would overflow `capacity`. A
+   * document longer than the capacity opens (and overflows) its own bin —
+   * never silently dropped or truncated.
+   *
+   * Scale shape: one shuffle (repartition by shard), then a single
+   * streaming pass per partition — the packing state is two longs, the
+   * sorted iterator never materializes a shard, and shards are hash-sized
+   * (corpus/nShards) so no partition outgrows its executor. This is the
+   * sanctioned mapPartitions case: a genuinely sequential per-shard scan
+   * no relational operator expresses (the q64 oracle replays it with a
+   * recursive CTE).
+   *
+   * Returns (shard, key, n_tokens, bin).
+   */
+  def packSequences(
+      df: DataFrame,
+      key: Column,
+      tokens: Column,
+      capacity: Long,
+      nShards: Int): DataFrame = {
+    require(capacity > 0 && nShards > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ks = key.cast("string")
+    val base = df.select(
+      md5Bucket(ks, nShards).as("shard"),
+      ks.as("key"),
+      tokens.cast("long").as("n_tokens"),
+      md5(ks).as("__ord"))
+    val packed = base
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"), col("key"))
+      .select(col("shard"), col("key"), col("n_tokens"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        // several shards can share a partition; state resets on boundary
+        var curShard = Long.MinValue
+        var bin = 0L
+        var used = 0L
+        it.map { case (shard, k, tok) =>
+          if (shard != curShard) { curShard = shard; bin = 0L; used = tok }
+          else if (used + tok <= capacity) used += tok
+          else { bin += 1L; used = tok }
+          (shard, k, tok, bin)
+        }
+      }
+    packed.toDF("shard", "key", "n_tokens", "bin")
+  }
+}

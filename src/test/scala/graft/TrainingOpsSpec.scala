@@ -710,4 +710,92 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project") && plan.contains("html_text"), plan)
     pages.unpersist()
   }
+
+  // --- TrainingSplits: holdout, stratified sample, sequence packing --------
+
+  test("hashSplit: pure projection (no exchange), percent proportions, " +
+    "stable under repartition") {
+    import graft.operators.TrainingSplits
+    val key = concat_ws("|", col("source"), col("doc_id").cast("string"))
+    val splits = Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)
+    val got = TrainingSplits.hashSplit(docs, key, splits)
+      .select("doc_id", "split")
+    // zero shuffle: split assignment must not add an Exchange
+    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"),
+      got.queryExecution.executedPlan.toString)
+    val byName = got.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum == docs.count())
+    // md5 buckets at n=500: train ≈ 450, each holdout ≈ 25 (loose bands)
+    assert(byName("train") > 400 && byName("val") > 5 && byName("test") > 5)
+    // membership is a function of the key alone — identical after an
+    // arbitrary repartition (the resume/backfill guarantee)
+    val re = TrainingSplits.hashSplit(docs.repartition(17), key, splits)
+      .select("doc_id", "split")
+    assert(got.exceptAll(re).isEmpty && re.exceptAll(got).isEmpty)
+    // bad weights fail loudly
+    intercept[IllegalArgumentException] {
+      TrainingSplits.hashSplit(docs, key, Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("stratifiedSample: salted two-level plan equals the naive single " +
+    "window exactly, for any salt count") {
+    import graft.operators.TrainingSplits
+    import org.apache.spark.sql.expressions.Window
+    val key = concat_ws("|", col("source"), col("doc_id").cast("string"))
+    val naive = docs
+      .withColumn("__k", key).withColumn("__o", md5(col("__k")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("__o"), col("__k"))))
+      .filter(col("rn") <= 25).drop("__k", "__o")
+      .select("lang", "doc_id", "rn")
+    for (salts <- Seq(1, 2, 64)) {
+      val got = TrainingSplits.stratifiedSample(docs, Seq("lang"), key, 25, salts)
+        .select("lang", "doc_id", "rn")
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"salts=$salts diverged from the naive window")
+    }
+    // exactly min(k, |stratum|) per stratum
+    val perLang = TrainingSplits.stratifiedSample(docs, Seq("lang"), key, 25)
+      .groupBy("lang").count().collect().map(_.getLong(1))
+    assert(perLang.forall(_ == 25L), perLang.toSeq.toString)
+  }
+
+  test("packSequences: capacity respected, every doc placed once, bins " +
+    "contiguous, oversized docs isolated, parallelism-independent") {
+    import graft.operators.TrainingSplits
+    val tokens = size(split(trim(col("text")), "\\s+"))
+    val packed = TrainingSplits.packSequences(
+      docs, col("doc_id"), tokens, capacity = 512, nShards = 8).cache()
+    // every doc exactly once
+    assert(packed.count() == docs.count())
+    assert(packed.select("key").distinct().count() == docs.count())
+    // a bin only exceeds capacity when it holds a single oversized doc
+    val over = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .filter(col("tot") > 512 && col("n") > 1)
+    assert(over.isEmpty, over.collect().mkString(","))
+    // bins are contiguous 0..max within each shard
+    val bad = packed.groupBy("shard")
+      .agg(max("bin").as("mx"), countDistinct("bin").as("nb"))
+      .filter(col("nb") =!= col("mx") + 1)
+    assert(bad.isEmpty, bad.collect().mkString(","))
+    // same result regardless of input partitioning (the 4N-core guarantee)
+    val re = TrainingSplits.packSequences(
+      docs.repartition(23), col("doc_id"), tokens, capacity = 512, nShards = 8)
+    assert(packed.exceptAll(re).isEmpty && re.exceptAll(packed).isEmpty)
+    packed.unpersist()
+    // planted oversize: a 10k-token doc opens its own (overflowing) bin,
+    // and the following doc starts a fresh bin
+    val mini = Seq((1L, 100L), (2L, 10000L), (3L, 100L))
+      .toDF("id", "tok")
+    val m = TrainingSplits.packSequences(
+        mini, col("id"), col("tok"), capacity = 512, nShards = 1)
+      .orderBy("bin", "key").collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    val big = m.toMap.apply("2")
+    assert(m.count { case (_, b) => b == big } == 1,
+      s"the oversized doc must sit alone in its bin: ${m.toSeq}")
+  }
 }
