@@ -121,7 +121,10 @@ object geo {
       require(s.foldable && s.resolved,
         "stopword_hits expects a foldable array<array<string>> set literal")
       val folded = s.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val sets = (0 until folded.numElements()).map { i =>
+      // a NULL set literal folds to no sets (hits = empty array per row) —
+      // evaluating it would NPE inside analysis as an opaque INTERNAL_ERROR
+      val sets = if (folded == null) Seq.empty[Seq[String]]
+      else (0 until folded.numElements()).map { i =>
         val inner = folded.getArray(i)
         (0 until inner.numElements())
           .map(j => inner.getUTF8String(j).toString): Seq[String]
