@@ -112,6 +112,7 @@ object geo {
     ("directed_hausdorff_km", 2, { case Seq(a, b) => DirectedHausdorff(a, b) }),
     ("tile_x", 2, { case Seq(a, b) => TileX(a, b) }),
     ("tile_y", 2, { case Seq(a, b) => TileY(a, b) }),
+    ("html_text", 1, { case Seq(a) => HtmlText(a) }),
     ("cosine_sim", 2, { case Seq(a, b) => CosineSim(a, b) }),
     ("sig_eq_count", 2, { case Seq(a, b) => SigEqCount(a, b) }),
     ("sign_buckets", 2, { case Seq(a, b) => SignBuckets(a, b) }),

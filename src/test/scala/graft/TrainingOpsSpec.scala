@@ -711,6 +711,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     pages.unpersist()
   }
 
+  test("html_text recovers text byte-identically from the input_hint " +
+    "WebPage table's html binary (the north-star invariant end-to-end)") {
+    import graft.functions.text.html_text
+    // the synthetic Common-Crawl-style corpus carries (url, warc_ts,
+    // html:binary, text, lang); extraction from the binary must equal the
+    // stored text for EVERY page
+    val pages = spark.createDataFrame(
+      (0L until 2000L).map(i => graft.synth.Synth.page(i, 64)))
+    val bad = pages.filter(html_text(col("html")) =!= col("text"))
+    assert(bad.isEmpty, bad.select("url").take(3).mkString(","))
+    // and through SQL (registered surface)
+    graft.functions.geo.register(spark)
+    pages.createOrReplaceTempView("__pages_ht")
+    assert(spark.sql(
+      "SELECT count(*) FROM __pages_ht WHERE html_text(html) <> text")
+      .first().getLong(0) == 0L)
+  }
+
   // --- TrainingSplits: holdout, stratified sample, sequence packing --------
 
   test("hashSplit: pure projection (no exchange), percent proportions, " +
