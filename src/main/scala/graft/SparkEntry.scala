@@ -571,7 +571,19 @@ object SparkEntry {
         t(s, d, "documents"),
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")),
-        capacity = 512, nShards = 8))
+        capacity = 512, nShards = 8)),
+
+    // deterministic mixture rebalance: per-source keep rates decided by the
+    // row's md5 bucket — zero-shuffle, rerun-stable, and monotone in the
+    // rate (raising a source's weight only adds documents)
+    "q65_mixture_sample" -> ((s, d) =>
+      graft.operators.TrainingSplits.mixtureSample(
+        t(s, d, "documents"),
+        concat_ws("|", col("source"), col("doc_id").cast("string")),
+        col("source"),
+        Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 1.0),
+        defaultRate = 0.5)
+        .select(col("doc_id"), col("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1257,6 +1269,16 @@ object SparkEntry {
         |  CASE WHEN p.used + r2.n_tokens <= 512 THEN p.used + r2.n_tokens
         |       ELSE r2.n_tokens END
         | FROM p JOIN r r2 ON r2.shard = p.shard AND r2.rn = p.rn + 1)
-        |SELECT shard, key, n_tokens, bin FROM p""".stripMargin
+        |SELECT shard, key, n_tokens, bin FROM p""".stripMargin,
+
+    // same md5-bucket threshold per source (1e-6-granular rates)
+    "q65_mixture_sample" ->
+      """SELECT doc_id, source FROM (
+        | SELECT doc_id, source,
+        |  CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 6))
+        |    AS BIGINT) % 1000000 AS bucket
+        | FROM documents)
+        |WHERE bucket < (CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 250000
+        |                WHEN 'src2' THEN 1000000 ELSE 500000 END)""".stripMargin
   )
 }

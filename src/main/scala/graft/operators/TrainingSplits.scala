@@ -52,6 +52,37 @@ object TrainingSplits {
   }
 
   /**
+   * Deterministic mixture (per-stratum rate) downsampling: keep each row
+   * with its stratum's configured probability, decided by the row's md5
+   * bucket — the "data mixing" op that rebalances source proportions
+   * (upweight curated sources, downweight boilerplate-heavy crawls) before
+   * training. Like [[hashSplit]] it is a zero-shuffle pure projection of
+   * (key, stratum): membership never changes across reruns, resumes, or
+   * repartitioning, and a row kept at rate r stays kept at any rate ≥ r
+   * (buckets are nested), so raising a source's weight only ADDS documents
+   * — incremental remixes don't churn the kept set.
+   *
+   * Strata absent from `rates` keep `defaultRate`. Rates are granular to
+   * 1/buckets (default 1e-6).
+   */
+  def mixtureSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      buckets: Int = 1000000): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      s"mixtureSample: rates must be in [0,1], got $rates / $defaultRate")
+    val bucket = md5Bucket(key, buckets)
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * buckets)): Column) {
+      case (acc, (name, r)) =>
+        when(stratum === name, lit(math.round(r * buckets))).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /**
    * Deterministic stratified top-k sample: exactly min(k, |stratum|) rows
    * per stratum, chosen and ranked by md5(key) — a fixed pseudo-random
    * order reproducible by any engine.

@@ -757,6 +757,41 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureSample: zero-shuffle, nested kept-sets (monotone in rate), " +
+    "proportions near targets, rerun-stable") {
+    import graft.operators.TrainingSplits
+    val key = concat_ws("|", col("source"), col("doc_id").cast("string"))
+    def mix(r: Double) = TrainingSplits.mixtureSample(
+      docs, key, col("source"), Map.empty, defaultRate = r)
+      .select("doc_id")
+    // no Exchange: membership is a pure filter
+    assert(!mix(0.5).queryExecution.executedPlan.toString.contains("Exchange"))
+    // monotone: the 25% kept-set is a subset of the 50% kept-set
+    assert(mix(0.25).exceptAll(mix(0.5)).isEmpty)
+    assert(mix(0.5).exceptAll(mix(1.0)).isEmpty)
+    // rate 0 drops everything, rate 1 keeps everything
+    assert(mix(0.0).isEmpty && mix(1.0).count() == docs.count())
+    // per-stratum rates apply to their stratum only
+    val mixed = TrainingSplits.mixtureSample(docs, key, col("source"),
+      Map("src0" -> 0.0, "src2" -> 1.0), defaultRate = 0.5)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src0"))
+    assert(bySrc("src2") == docs.filter(col("source") === "src2").count())
+    val rest = bySrc.filterKeys(k => k != "src0" && k != "src2").values.sum
+    val restAll = docs.filter(col("source") =!= "src0" &&
+      col("source") =!= "src2").count()
+    assert(math.abs(rest.toDouble / restAll - 0.5) < 0.15,
+      s"default-rate strata kept $rest of $restAll")
+    // deterministic across partitioning
+    val re = TrainingSplits.mixtureSample(docs.repartition(13), key,
+      col("source"), Map("src0" -> 0.0, "src2" -> 1.0), defaultRate = 0.5)
+    assert(mixed.exceptAll(re).isEmpty && re.exceptAll(mixed).isEmpty)
+    intercept[IllegalArgumentException] {
+      TrainingSplits.mixtureSample(docs, key, col("source"), Map("a" -> 1.5))
+    }
+  }
+
   test("stratifiedSample: salted two-level plan equals the naive single " +
     "window exactly, for any salt count") {
     import graft.operators.TrainingSplits
