@@ -583,7 +583,26 @@ object SparkEntry {
         col("source"),
         Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 1.0),
         defaultRate = 0.5)
-        .select(col("doc_id"), col("source")))
+        .select(col("doc_id"), col("source"))),
+
+    // PII redaction over planted emails/IPs/phones appended to each
+    // document; the oracle rebuilds the identical plant and applies the
+    // same RE2∩Java-dialect patterns in DuckDB
+    "q66_redact_pii" -> ((s, d) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), (col("doc_id") % 250).cast("string"),
+        lit(" call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      t(s, d, "documents")
+        .select(col("doc_id"), planted.as("txt_full"))
+        .select(col("doc_id"),
+          graft.functions.text.redact_pii(col("txt_full")).as("red"),
+          (length(col("txt_full")) - length(graft.functions.text.redact_pii(col("txt_full"))))
+            .as("shrunk"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1279,6 +1298,23 @@ object SparkEntry {
         |    AS BIGINT) % 1000000 AS bucket
         | FROM documents)
         |WHERE bucket < (CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 250000
-        |                WHEN 'src2' THEN 1000000 ELSE 500000 END)""".stripMargin
+        |                WHEN 'src2' THEN 1000000 ELSE 500000 END)""".stripMargin,
+
+    // identical plant, identical RE2∩Java-dialect patterns, email pass first
+    "q66_redact_pii" ->
+      """SELECT doc_id, red, (length(txt_full) - length(red)) AS shrunk FROM (
+        | SELECT doc_id, txt_full,
+        |  regexp_replace(regexp_replace(regexp_replace(txt_full,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS red
+        | FROM (
+        |  SELECT doc_id,
+        |   text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)
+        |    || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+        |    || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt_full
+        |  FROM documents))""".stripMargin
   )
 }

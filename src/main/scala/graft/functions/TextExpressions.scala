@@ -274,4 +274,24 @@ object text {
   def stopword_hits(words: Column, sets: Seq[Seq[String]]): Column =
     toCol(StopwordHits(toExpr(words), sets))
   def html_text(html: Column): Column = toCol(HtmlText(toExpr(html)))
+
+  /**
+   * PII redaction: emails → `<EMAIL>`, dotted-quad IPs → `<IP>`,
+   * NNN-NNN-NNNN phones → `<PHONE>`. Composed codegen'd regexp passes
+   * (three scans per page — each pattern needs its own replacement token,
+   * so a single alternation pass can't express it). The patterns stay in
+   * the RE2 ∩ java.util.regex common dialect (no lookaround, no backrefs)
+   * so external engines — and the q66 DuckDB oracle — reproduce the
+   * redaction byte-for-byte. Email runs first: an address can embed
+   * digit-dot runs an earlier IP pass would split.
+   */
+  def redact_pii(c: Column): Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+      "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>")
+  }
 }

@@ -729,6 +729,22 @@ class TrainingOpsSpec extends AnyFunSuite {
       .first().getLong(0) == 0L)
   }
 
+  test("redact_pii: emails, dotted quads, phones — multiple hits, " +
+    "boundaries, clean text untouched") {
+    import graft.functions.text.redact_pii
+    val cases = Seq(
+      ("write a.b+c@sub.example.co.uk now", "write <EMAIL> now"),
+      ("ips 10.0.0.1 and 192.168.255.254.", "ips <IP> and <IP>."),
+      ("call 555-123-4567 or 555-000-1111", "call <PHONE> or <PHONE>"),
+      ("x@y.io 1.2.3.4 111-222-3333", "<EMAIL> <IP> <PHONE>"),
+      // version strings lack a 4th octet; short digit runs aren't phones
+      ("v1.2.3 build 12-34-5678 stays", "v1.2.3 build 12-34-5678 stays"),
+      ("no pii here at all", "no pii here at all"))
+    val got = cases.map(_._1).toDF("t")
+      .select(redact_pii(col("t"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
+  }
+
   // --- TrainingSplits: holdout, stratified sample, sequence packing --------
 
   test("hashSplit: pure projection (no exchange), percent proportions, " +
