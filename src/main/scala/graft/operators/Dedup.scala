@@ -594,18 +594,46 @@ object Dedup {
    * [[components]]; singletons are the caller's left-join (see
    * [[nearDupKeepers]]).
    */
+  // canonical edge form shared by the star-contraction variants:
+  // u > v, no self-loops, distinct
+  private def canonStar(e: DataFrame): DataFrame = e
+    .filter(col("u") =!= col("v"))
+    .select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    .distinct()
+
+  /** One alternating large-star + small-star contraction round over a
+    * canonical edge set; returns the next canonical generation. */
+  private def starRound(edges: DataFrame): DataFrame = {
+    // large-star: neighborhoods from both directions; m = min(N(x) ∪ {x});
+    // emit (n, m) for the strictly-larger neighbors n > x
+    val nbrs = edges.select(col("u").as("x"), col("v").as("n"))
+      .union(edges.select(col("v").as("x"), col("u").as("n")))
+    val mins = nbrs.groupBy("x")
+      .agg(min("n").as("mn"))
+      .select(col("x"), least(col("x"), col("mn")).as("m"))
+    val large = canonStar(nbrs.join(mins, "x").filter(col("n") > col("x"))
+      .select(col("n").as("u"), col("m").as("v")))
+    // small-star on the canonical (u > v) form: S(u) = smaller neighbors,
+    // m = min(S(u)); rewire every v ∈ S(u) and u itself onto m
+    val smins = large.groupBy("u").agg(min("v").as("m"))
+    canonStar(
+      large.join(smins, "u").select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v"))))
+  }
+
+  /** Fixpoint-edge readout: at fixpoint the edge set is a union of stars
+    * (nonRoot > root); roots label themselves. */
+  private def starLabels(ids: DataFrame, edges: DataFrame): DataFrame =
+    ids.join(edges.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .groupBy("id").agg(min(coalesce(col("comp"), col("id"))).as("comp"))
+
   def componentsStar(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIters: Int = 30): DataFrame = {
-    // canonical form: u > v, no self-loops, distinct
-    def canon(e: DataFrame): DataFrame = e
-      .filter(col("u") =!= col("v"))
-      .select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      .distinct()
     val ids = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id"))).distinct()
       .localCheckpoint(true)
-    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+    var edges = canonStar(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
       .localCheckpoint(true)
     // count carried across rounds: both generations are canonical (distinct)
     // sets, so equal counts + an empty one-sided anti-join probe proves set
@@ -615,22 +643,7 @@ object Dedup {
     var iter = 0
     var converged = edgeCount == 0L
     while (!converged && iter < maxIters) {
-      // large-star: neighborhoods from both directions; m = min(N(x) ∪ {x});
-      // emit (n, m) for the strictly-larger neighbors n > x
-      val nbrs = edges.select(col("u").as("x"), col("v").as("n"))
-        .union(edges.select(col("v").as("x"), col("u").as("n")))
-      val mins = nbrs.groupBy("x")
-        .agg(min("n").as("mn"))
-        .select(col("x"), least(col("x"), col("mn")).as("m"))
-      val large = canon(nbrs.join(mins, "x").filter(col("n") > col("x"))
-        .select(col("n").as("u"), col("m").as("v")))
-      // small-star on the canonical (u > v) form: S(u) = smaller neighbors,
-      // m = min(S(u)); rewire every v ∈ S(u) and u itself onto m
-      val smins = large.groupBy("u").agg(min("v").as("m"))
-      val small = canon(
-        large.join(smins, "u").select(col("v").as("u"), col("m").as("v"))
-          .union(smins.select(col("u"), col("m").as("v"))))
-        .localCheckpoint(true)
+      val small = starRound(edges).localCheckpoint(true)
       val smallCount = small.count()
       converged = smallCount == edgeCount &&
         small.join(edges, Seq("u", "v"), "left_anti").isEmpty
@@ -643,10 +656,92 @@ object Dedup {
     if (!converged && edgeCount > 0L)
       log.warn(s"componentsStar: no fixpoint after $maxIters rounds " +
         s"(log²-round bound exceeded — should not happen below ~2^${maxIters / 6} nodes)")
-    // fixpoint edges are stars (nonRoot > root); roots label themselves
-    ids.join(edges.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
-      .groupBy("id").agg(min(coalesce(col("comp"), col("id"))).as("comp"))
+    starLabels(ids, edges)
   }
+
+  /**
+   * [[componentsStar]] with a DURABLE fixpoint: every contraction round
+   * lands the next edge generation as one atomic
+   * [[graft.sources.SnapTable]] snapshot under `stateRoot`, with
+   * (round, edge count, converged) carried in the manifest's operation
+   * string. A driver death at round k resumes at round k — not round 0 —
+   * which is the difference between restarting a 10^12-edge job and
+   * finishing it: per-round generations there are hours of shuffle, and
+   * [[componentsStar]]'s localCheckpoint generations die with the
+   * executors. Snapshot history doubles as an audit trail (time-travel
+   * reads any round's edge set until expiry).
+   *
+   * The contraction is deterministic (min-based, partitioning-independent),
+   * so resumed and uninterrupted runs converge to identical labels — the
+   * same invariant the streaming kill+resume and tile-converter ledgers
+   * pin. `roundsThisRun` bounds the rounds THIS call executes (a production
+   * driver loops `while (!componentsStarConverged(...)) ...` in whatever
+   * lease windows it gets; specs use it to simulate a crash per round).
+   * Returns the label readout of the newest durable generation — final
+   * exactly when [[componentsStarConverged]] reports true.
+   */
+  def componentsStarResumable(pairs: DataFrame, stateRoot: String,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIters: Int = 30, roundsThisRun: Int = Int.MaxValue): DataFrame = {
+    import graft.sources.SnapTable
+    val spark = pairs.sparkSession
+    val ids = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct()
+      .localCheckpoint(true)
+    // resume point: the newest durable generation (its round state rides in
+    // the manifest summary, atomic with the file list), else round 0 built
+    // from the pairs
+    var (edges, edgeCount, round, converged) =
+      SnapTable.currentVersion(spark, stateRoot) match {
+        case Some(v) =>
+          val st = parseStarSummary(SnapTable.manifest(spark, stateRoot, v).summary)
+          (SnapTable.scan(spark, stateRoot), st._2, st._1, st._3)
+        case None =>
+          val e0 = canonStar(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+            .localCheckpoint(true)
+          val n0 = e0.count()
+          val c0 = n0 == 0L
+          SnapTable.overwrite(e0, stateRoot, summary = starSummary(0, n0, c0))
+          (SnapTable.scan(spark, stateRoot), n0, 0, c0)
+      }
+    var executed = 0
+    while (!converged && round < maxIters && executed < roundsThisRun) {
+      val next = starRound(edges).localCheckpoint(true)
+      val nextCount = next.count()
+      // probe against the CURRENT durable generation before replacing it
+      // (same count-carry + one-sided anti-join proof as componentsStar)
+      converged = nextCount == edgeCount &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      round += 1
+      SnapTable.overwrite(next, stateRoot,
+        summary = starSummary(round, nextCount, converged))
+      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(next)
+      edges = SnapTable.scan(spark, stateRoot)
+      edgeCount = nextCount
+      executed += 1
+    }
+    if (!converged && edgeCount > 0L && round >= maxIters)
+      log.warn(s"componentsStarResumable: no fixpoint after $maxIters rounds")
+    starLabels(ids, edges)
+  }
+
+  /** True when the durable fixpoint under `stateRoot` has converged. */
+  def componentsStarConverged(spark: org.apache.spark.sql.SparkSession,
+      stateRoot: String): Boolean =
+    graft.sources.SnapTable.currentVersion(spark, stateRoot).exists { v =>
+      parseStarSummary(
+        graft.sources.SnapTable.manifest(spark, stateRoot, v).summary)._3
+    }
+
+  private def starSummary(round: Int, edges: Long, converged: Boolean): String =
+    s"star round=$round edges=$edges converged=$converged"
+
+  private def parseStarSummary(s: String): (Int, Long, Boolean) =
+    raw"star round=(\d+) edges=(\d+) converged=(true|false)".r
+      .findFirstMatchIn(s)
+      .map(g => (g.group(1).toInt, g.group(2).toLong, g.group(3).toBoolean))
+      .getOrElse(throw new IllegalArgumentException(
+        s"not a componentsStarResumable state table (summary: '$s')"))
 
   /**
    * Keep-one-per-cluster resolution over the full corpus: every document

@@ -47,8 +47,13 @@ object SnapTable {
 
   final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats])
 
+  /** `summary` is the Iceberg-snapshot-summary analog: a free-form
+    * caller annotation committed ATOMICALLY with the file list (iterative
+    * jobs persist their loop state in it — see
+    * Dedup.componentsStarResumable). Absent in pre-summary manifests,
+    * parsed as "". */
   final case class Manifest(version: Int, parentVersion: Int, operation: String,
-      schemaDdl: String, files: Seq[FileEntry])
+      schemaDdl: String, files: Seq[FileEntry], summary: String = "")
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -86,8 +91,8 @@ object SnapTable {
       s"""{"path":${jstr(fe.path)},"rows":${fe.rows},"stats":$stats}"""
     }.mkString("[", ",", "]")
     s"""{"version":${m.version},"parent":${m.parentVersion},""" +
-      s""""operation":${jstr(m.operation)},"schema":${jstr(m.schemaDdl)},""" +
-      s""""files":$files}"""
+      s""""operation":${jstr(m.operation)},"summary":${jstr(m.summary)},""" +
+      s""""schema":${jstr(m.schemaDdl)},"files":$files}"""
   }
 
   /** Read and parse the manifest for `version`. */
@@ -111,7 +116,8 @@ object SnapTable {
       FileEntry(fe.get("path").asText(), fe.get("rows").asLong(), stats)
     }.toSeq
     Manifest(n.get("version").asInt(), n.get("parent").asInt(),
-      n.get("operation").asText(), n.get("schema").asText(), files)
+      n.get("operation").asText(), n.get("schema").asText(), files,
+      if (n.has("summary")) n.get("summary").asText() else "")
   }
 
   /**
@@ -122,7 +128,7 @@ object SnapTable {
    * manifest, never a data rewrite. Returns the committed version.
    */
   def commit(df: DataFrame, root: String, op: String,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil, summary: String = ""): Int = {
     require(op == "append" || op == "overwrite", s"bad op $op")
     val spark = df.sparkSession
     val dataDir = s"$root/data/${java.util.UUID.randomUUID().toString}"
@@ -148,7 +154,7 @@ object SnapTable {
       val carried =
         if (op == "overwrite" || parent == 0) Seq.empty
         else manifest(spark, root, parent).files
-      val m = Manifest(parent + 1, parent, op, ddl, carried ++ newFiles)
+      val m = Manifest(parent + 1, parent, op, ddl, carried ++ newFiles, summary)
       val f = fs(spark, root)
       f.mkdirs(new Path(root, "meta"))
       val target = new Path(new Path(root, "meta"), s"v${m.version}.json")
@@ -181,11 +187,13 @@ object SnapTable {
       try out.write(bytes) finally out.close()
     }
 
-  def append(df: DataFrame, root: String, statsCols: Seq[String] = Nil): Int =
-    commit(df, root, "append", statsCols)
+  def append(df: DataFrame, root: String, statsCols: Seq[String] = Nil,
+      summary: String = ""): Int =
+    commit(df, root, "append", statsCols, summary)
 
-  def overwrite(df: DataFrame, root: String, statsCols: Seq[String] = Nil): Int =
-    commit(df, root, "overwrite", statsCols)
+  def overwrite(df: DataFrame, root: String, statsCols: Seq[String] = Nil,
+      summary: String = ""): Int =
+    commit(df, root, "overwrite", statsCols, summary)
 
   private def emptyOf(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -607,6 +607,40 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("foldable"), err.getMessage)
   }
 
+  test("componentsStarResumable: a crash after EVERY round still converges " +
+    "to the uninterrupted labels; snapshots audit the contraction") {
+    import graft.operators.Dedup
+    import graft.sources.SnapTable
+    val root = java.nio.file.Files.createTempDirectory("star_state").toString
+    // adversarial 40-node chain — needs several contraction rounds
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val expect = Dedup.componentsStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simulate a driver death after every single round: each call is a
+    // fresh "driver" that resumes from the durable state and runs ONE round
+    var calls = 0
+    while (!Dedup.componentsStarConverged(spark, root) && calls < 40) {
+      Dedup.componentsStarResumable(pairs, root, roundsThisRun = 1)
+      calls += 1
+    }
+    assert(Dedup.componentsStarConverged(spark, root), s"after $calls calls")
+    // a converged state returns the final labels without running any round
+    val vDone = SnapTable.currentVersion(spark, root).get
+    val got = Dedup.componentsStarResumable(pairs, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(SnapTable.currentVersion(spark, root).contains(vDone),
+      "a call on a converged state must not commit new rounds")
+    assert(got == expect)
+    assert(got.forall(_._2 == 0L)) // one chain → one component rooted at 0
+    // round state rides atomically in the manifest summary
+    assert(SnapTable.manifest(spark, root, vDone).summary
+      .contains("converged=true"))
+    // time travel audits the contraction: v1 is the canonical input chain
+    assert(SnapTable.scan(spark, root, asOf = Some(1)).count() == 39)
+    // and the fixpoint needed more than one durable generation
+    assert(vDone >= 3, s"chain-40 converged suspiciously fast: v$vDone")
+  }
+
   test("nearDupKeepers: singletons keep themselves; each cluster keeps " +
     "exactly its min id; string ids survive") {
     import graft.operators.Dedup
