@@ -520,6 +520,19 @@ object SparkEntry {
         algo = graft.operators.Dedup.componentsStar(_, _, _))
     }),
 
+    // the DURABLE fixpoint variant through the same ground-truth closure:
+    // identical contract to q60, but every contraction round commits as an
+    // atomic snapshot and the labeler resumes from durable state (the state
+    // table is reset per run so the driver grades a full fixpoint)
+    "q67_components_resumable" -> ((s, d) => {
+      val root = s"${SmokeWorld.auxDir}/tmp_star_state"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val docs = t(s, d, "documents")
+      graft.operators.Dedup.nearDupKeepers(docs, "doc_id",
+        graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text"),
+        algo = graft.operators.Dedup.componentsStarResumable(_, root, _, _))
+    }),
+
     // html → text extraction (north-star invariant: byte-identical extracted
     // text per url). The fixture wraps each document's text in a page with a
     // script block (containing a raw '<'), a style block, a comment, and
@@ -1130,6 +1143,25 @@ object SparkEntry {
     // star contraction must reach the same fixpoint as hash-min: same
     // ground-truth closure grades both labelers
     "q60_components_star" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, list_distinct(
+        |   [substr(text, CAST(i AS INT), 5) for i in range(1, greatest(length(text)-4,1)+1)]) AS sh
+        | FROM documents),
+        |p AS (SELECT id_a, id_b FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))*1.0
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id) WHERE j >= 0.7),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |r(id, reach) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT r.id, e.dst FROM r JOIN e ON e.src = r.reach)
+        |SELECT id AS doc_id, min(reach) AS comp, (min(reach) = id) AS keeper
+        |FROM r GROUP BY id""".stripMargin,
+
+    // identical ground truth for the durable-fixpoint labeler
+    "q67_components_resumable" ->
       """WITH RECURSIVE s AS (SELECT doc_id, list_distinct(
         |   [substr(text, CAST(i AS INT), 5) for i in range(1, greatest(length(text)-4,1)+1)]) AS sh
         | FROM documents),
