@@ -39,6 +39,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("hashSplit and mixtureSample run UNCHANGED on a stream and equal " +
+    "their batch twins (zero-shuffle projections are trigger-invariant)") {
+    import graft.operators.TrainingSplits
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("streamsplit").toString
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val key = concat_ws("|", col("source"), col("doc_id").cast("string"))
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      TrainingSplits.hashSplit(
+        TrainingSplits.mixtureSample(df, key, col("source"),
+          Map("src0" -> 0.0), defaultRate = 0.5),
+        key, Seq("train" -> 0.9, "val" -> 0.1))
+        .select("doc_id", "split")
+    val q = pipe(stream).writeStream.outputMode("append")
+      .format("memory").queryName("splitout").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("splitout")
+    val batch = pipe(docs)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stream-static spatial candidate join matches the batch matcher's pairs") {
     val nRoads = 10
     val pages = graft.operators.ConflationPipeline.pages(spark, 60, nRoads).toDF()
