@@ -615,6 +615,31 @@ object SparkEntry {
           graft.functions.text.redact_pii(col("txt_full")).as("red"),
           (length(col("txt_full")) - length(graft.functions.text.redact_pii(col("txt_full"))))
             .as("shrunk"))
+    }),
+
+    // WARC container round-trip (ISO 28500, the format Common-Crawl-style
+    // corpora arrive in): each document rendered to an html page, written
+    // out as REAL .warc.gz bytes (gzip member per record, warcinfo lead,
+    // HTTP response payload envelope), read back through the streaming
+    // scan, and projected. The oracle recomputes everything relationally
+    // from the raw documents table and never sees the files — any
+    // corruption in the container leg flips the hash (q56/q57 pattern).
+    "q68_warc_roundtrip" -> ((s, d) => {
+      val path = s"${SmokeWorld.auxDir}/tmp_warc"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      val page = concat(lit("<html><body><h1>doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"), lit("</p></body></html>"))
+      val pages = t(s, d, "documents").select(
+        concat(lit("https://example.test/doc/"), col("doc_id").cast("string")).as("url"),
+        (lit(1735689600L) + col("doc_id") % 86400).cast("timestamp").as("warc_ts"),
+        encode(page, "UTF-8").as("html"))
+      graft.sources.Warc.writePages(pages.repartition(4, col("url")), path)
+      graft.sources.Warc.readPages(s, path)
+        .select(
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          unix_timestamp(col("warc_ts")).as("warc_epoch"),
+          decode(col("html"), "UTF-8").as("page"),
+          length(col("html")).as("n_bytes"))
     })
   )
 
@@ -1178,6 +1203,19 @@ object SparkEntry {
         | SELECT r.id, e.dst FROM r JOIN e ON e.src = r.reach)
         |SELECT id AS doc_id, min(reach) AS comp, (min(reach) = id) AS keeper
         |FROM r GROUP BY id""".stripMargin,
+
+    // WARC round-trip: the same page/url/timestamp construction recomputed
+    // relationally — Spark's rows travelled out through real .warc.gz bytes
+    // (gzip members, WARC headers, HTTP envelope) and back in through the
+    // streaming scan; a single corrupted byte anywhere in that leg flips
+    // the hash
+    "q68_warc_roundtrip" ->
+      """SELECT doc_id, 1735689600 + doc_id % 86400 AS warc_epoch,
+        | '<html><body><h1>doc ' || doc_id || '</h1><p>' || text
+        |   || '</p></body></html>' AS page,
+        | octet_length(encode('<html><body><h1>doc ' || doc_id || '</h1><p>'
+        |   || text || '</p></body></html>')) AS n_bytes
+        |FROM documents""".stripMargin,
 
     // snapshot-table reads graded against the raw documents table: v1 is
     // the doc_id%4<2 commit, v2 the full table, v2_pruned the manifest-

@@ -1,0 +1,109 @@
+package graft
+
+import graft.sources.Warc
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** WARC (ISO 28500) container sink + scan round-trip. */
+class WarcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def pages(n: Int) = {
+    (0 until n).map { i =>
+      val url = s"https://example.test/road$i/page"
+      val html = s"<html><body><p>doc $i &amp; more <b>text</b></p></body></html>"
+        .getBytes("UTF-8")
+      (url, new java.sql.Timestamp(1735689600000L + i * 1234L), html)
+    }.toDF("url", "warc_ts", "html")
+  }
+
+  test("round-trip: every (url, warc_ts, html) row survives byte-identically") {
+    val dir = Files.createTempDirectory("warcrt").toString
+    Warc.writePages(pages(37).repartition(3, col("url")), dir)
+    val back = Warc.readPages(spark, dir)
+      .select("url", "warc_ts", "html").as[(String, java.sql.Timestamp, Array[Byte])]
+      .collect().sortBy(_._1)
+    val want = pages(37).as[(String, java.sql.Timestamp, Array[Byte])]
+      .collect().sortBy(_._1)
+    assert(back.length == want.length)
+    back.zip(want).foreach { case ((u1, t1, h1), (u2, t2, h2)) =>
+      assert(u1 == u2); assert(t1 == t2)
+      assert(java.util.Arrays.equals(h1, h2), s"html bytes differ for $u1")
+    }
+    // one warcinfo per file, none leaking into the pages projection
+    val all = Warc.read(spark, dir)
+    assert(all.where($"warc_type" === "warcinfo").count() == 3)
+    assert(all.where($"warc_type" === "response").count() == 37)
+    // every record id is the deterministic type-3 uuid form
+    assert(back.forall(_._1.nonEmpty))
+  }
+
+  test("sink bytes are deterministic: same partition rendered twice is identical") {
+    val d1 = Files.createTempDirectory("warcdet1").toString
+    val d2 = Files.createTempDirectory("warcdet2").toString
+    val df = pages(11).sortWithinPartitions("url").coalesce(1)
+    Warc.writePages(df, d1)
+    Warc.writePages(df, d2)
+    val b1 = Files.readAllBytes(new java.io.File(d1, "part-00000.warc.gz").toPath)
+    val b2 = Files.readAllBytes(new java.io.File(d2, "part-00000.warc.gz").toPath)
+    assert(java.util.Arrays.equals(b1, b2))
+  }
+
+  test("corruption: truncated tail loses only that file's remainder, visibly") {
+    val dir = Files.createTempDirectory("warccor").toString
+    Warc.writePages(pages(20).coalesce(1), dir)
+    Warc.writePages(pages(40).where($"url".contains("road3")).coalesce(1)
+      .withColumn("url", concat($"url", lit("-b"))), dir + "/b")
+    // graft a good file plus a corrupt one into one scan dir
+    val good = new java.io.File(dir, "part-00000.warc.gz")
+    val corrupt = java.nio.file.Paths.get(dir, "zz-corrupt.warc.gz")
+    // valid gzip member whose WARC content is garbage → parse aborts, task survives
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write("NOT A WARC RECORD\r\nstuff\r\n\r\n".getBytes("UTF-8")); gz.close()
+    Files.write(corrupt, bos.toByteArray)
+    val rows = Warc.read(spark, dir)
+    assert(rows.where($"warc_type" === "response").count() == 20)
+    val sentinels = rows.where($"record_id" === "__corrupt__").collect()
+    assert(sentinels.length == 1)
+    assert(sentinels.head.getAs[String]("warc_file").endsWith("zz-corrupt.warc.gz"))
+    assert(good.exists())
+  }
+
+  test("hostile Content-Length is rejected before allocation") {
+    val rec = ("WARC/1.1\r\nWARC-Type: response\r\nContent-Length: 99999999999\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val rows = Warc.parseStream(new java.io.ByteArrayInputStream(rec), "f")
+    assert(rows.length == 1 && rows.head.record_id == "__corrupt__")
+    assert(rows.head.url.contains("unreasonable Content-Length"))
+  }
+
+  test("mid-file corruption keeps the complete records before it") {
+    // render two valid members, then append garbage INSIDE a valid gzip member
+    val dir = Files.createTempDirectory("warcmid").toString
+    Warc.writePages(pages(2).coalesce(1), dir)
+    val f = new java.io.File(dir, "part-00000.warc.gz")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Files.readAllBytes(f.toPath))
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write("garbage tail".getBytes("UTF-8")); gz.close()
+    Files.write(f.toPath, bos.toByteArray)
+    // the local FS keeps a .crc sidecar from the original write; this test
+    // rewrote the file out-of-band, so drop the stale sidecar (real object
+    // stores have no such side channel)
+    Files.deleteIfExists(new java.io.File(dir, ".part-00000.warc.gz.crc").toPath)
+    val rows = Warc.read(spark, dir.toString)
+    assert(rows.where($"warc_type" === "response").count() == 2)
+    assert(rows.where($"record_id" === "__corrupt__").count() == 1)
+  }
+}
