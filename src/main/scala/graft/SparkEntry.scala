@@ -640,6 +640,52 @@ object SparkEntry {
           unix_timestamp(col("warc_ts")).as("warc_epoch"),
           decode(col("html"), "UTF-8").as("page"),
           length(col("html")).as("n_bytes"))
+    }),
+
+    // Gopher-style repetition quality gates (Rae et al. 2021 §A1.1):
+    // duplicate-line fraction, duplicate-line CHAR fraction (pure per-row
+    // array expressions, zero shuffle) + the per-document top-2-gram mode
+    // (explode → partial-agg groupBy → max_by, both shuffles keyed by
+    // doc/gram — no hot key at any document size)
+    "q69_repetition_stats" -> ((s, d) =>
+      graft.operators.TextQuality.repetitionStats(t(s, d, "documents"), "doc_id", "text")),
+
+    // benchmark decontamination: training docs sharing any word 4-gram
+    // with the eval slice (doc_id % 101 == 0). The eval gram set is tiny
+    // by construction → explicit broadcast; the corpus side is one
+    // map-side semi-join on its exploded grams
+    "q70_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.TextQuality.decontaminate(
+        docs.where(col("doc_id") % 101 =!= 0),
+        docs.where(col("doc_id") % 101 === 0),
+        "doc_id", "text", n = 4)
+    }),
+
+    // URL canonicalization + registrable domain: messy urls synthesized
+    // deterministically from doc_id (scheme case, www, default port,
+    // fragment, trailing slash, multi-label TLDs), normalized by the pure
+    // zero-shuffle string kernel; the oracle rebuilds the same urls and
+    // mirrors every regex in the RE2 ∩ Java dialect
+    "q71_url_canonical" -> ((s, d) => {
+      import graft.operators.TextQuality
+      val id = col("doc_id")
+      val raw = concat(
+        when(id % 2 === 0, "https").otherwise("HTTPS"), lit("://"),
+        when(id % 3 === 0, "www.").otherwise(""),
+        when(id % 5 === 0, "News").otherwise(concat(lit("site"), (id % 7).cast("string"))),
+        lit("."),
+        when(id % 4 === 0, "com").when(id % 4 === 1, "co.uk")
+          .when(id % 4 === 2, "org").otherwise("de"),
+        when(id % 11 === 0, ":443").otherwise(""),
+        lit("/p/"), id.cast("string"),
+        when(id % 6 === 0, "/").otherwise(""),
+        when(id % 9 === 0, "#s").otherwise(""))
+      t(s, d, "documents")
+        .select(id, raw.as("raw_url"))
+        .select(id, col("raw_url"),
+          TextQuality.canonicalUrl(col("raw_url")).as("canon"),
+          TextQuality.registrableDomain(col("raw_url")).as("domain"))
     })
   )
 
@@ -1216,6 +1262,89 @@ object SparkEntry {
         | octet_length(encode('<html><body><h1>doc ' || doc_id || '</h1><p>'
         |   || text || '</p></body></html>')) AS n_bytes
         |FROM documents""".stripMargin,
+
+    // Gopher repetition gates: line stats via list HOFs, the 2-gram mode
+    // via the same explode/group/top ordering (count DESC, gram DESC)
+    "q69_repetition_stats" ->
+      """WITH s AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split(text, '.'), x -> trim(x)), x -> x != '') AS ls,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '') AS ws
+        | FROM documents),
+        |base AS (SELECT doc_id, ws, len(ls) AS n_lines,
+        |  CASE WHEN len(ls)=0 THEN 0.0
+        |   ELSE round(1.0 - len(list_distinct(ls))*1.0/len(ls), 6) END AS dup_line_frac,
+        |  CASE WHEN len(ls)=0 THEN 0.0
+        |   ELSE round((list_aggregate(list_transform(ls, x -> length(x)), 'sum')
+        |     - list_aggregate(list_transform(list_distinct(ls), x -> length(x)), 'sum')) * 1.0
+        |     / greatest(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 1), 6)
+        |  END AS dup_char_frac
+        | FROM s),
+        |g AS (SELECT doc_id, unnest(
+        |   [ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] for i in range(1, len(ws))]) AS g
+        | FROM s WHERE len(ws) >= 2),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |top AS (SELECT doc_id, g AS top2_gram, c FROM (
+        |  SELECT doc_id, g, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn FROM gc)
+        | WHERE rn = 1)
+        |SELECT doc_id, n_lines, dup_line_frac, dup_char_frac, top2_gram, top2_frac,
+        | (dup_line_frac > 0.30 OR dup_char_frac > 0.20 OR top2_frac > 0.18) AS flagged
+        |FROM (SELECT b.doc_id, b.n_lines, b.dup_line_frac, b.dup_char_frac,
+        |  coalesce(t.top2_gram, '') AS top2_gram,
+        |  coalesce(round(t.c * length(t.top2_gram) * 1.0
+        |    / greatest(length(array_to_string(b.ws, ' ')), 1), 6), 0.0) AS top2_frac
+        | FROM base b LEFT JOIN top t USING (doc_id))""".stripMargin,
+
+    // decontamination: identical 4-gram construction, eval slice joined
+    // back against the training side
+    "q70_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '') AS ws
+        | FROM documents),
+        |g AS (SELECT doc_id, unnest(
+        |   [array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+3], ' ')
+        |    for i in range(1, greatest(len(ws)-3, 0)+1)]) AS g
+        | FROM w WHERE len(ws) >= 4),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 101 = 0),
+        |hits AS (SELECT doc_id, count(DISTINCT g.g) AS n_hit_grams
+        | FROM g JOIN ev USING (g) WHERE doc_id % 101 != 0 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+        | coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 101 != 0""".stripMargin,
+
+    // url canonicalization: the same messy construction and the same
+    // regex kernel, every pattern inside the RE2 ∩ Java common dialect
+    "q71_url_canonical" ->
+      """WITH r AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
+        |  || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN 'News' ELSE 'site' || (doc_id % 7) END)
+        |  || '.'
+        |  || (CASE WHEN doc_id % 4 = 0 THEN 'com' WHEN doc_id % 4 = 1 THEN 'co.uk'
+        |      WHEN doc_id % 4 = 2 THEN 'org' ELSE 'de' END)
+        |  || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+        |  || '/p/' || doc_id
+        |  || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 9 = 0 THEN '#s' ELSE '' END) AS raw_url
+        | FROM documents),
+        |c AS (SELECT doc_id, raw_url,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''), '^([^/]+//[^/]*)', 1))
+        |      || regexp_extract(regexp_replace(raw_url, '#.*$', ''), '^[^/]+//[^/]*(.*)$', 1),
+        |    '^(https://[^/:]+):443($|/)', '\1\2'),
+        |    '^(http://[^/:]+):80($|/)', '\1\2'),
+        |    '^(https?://)www\.', '\1'),
+        |    '/$', '') AS canon,
+        |  regexp_extract(lower(raw_url), '^[^/]+//(?:www\.)?([^/:#]+)', 1) AS host
+        | FROM r)
+        |SELECT doc_id, raw_url, canon,
+        | CASE WHEN len(l) <= 2 THEN host
+        |  WHEN l[len(l)-1] IN ('co','ac','gov','com','org','net')
+        |    AND length(l[len(l)]) = 2 AND len(l) >= 3
+        |   THEN l[len(l)-2] || '.' || l[len(l)-1] || '.' || l[len(l)]
+        |  ELSE l[len(l)-1] || '.' || l[len(l)] END AS domain
+        |FROM (SELECT doc_id, raw_url, canon, host, string_split(host, '.') AS l FROM c)""".stripMargin,
 
     // snapshot-table reads graded against the raw documents table: v1 is
     // the doc_id%4<2 commit, v2 the full table, v2_pruned the manifest-
