@@ -686,6 +686,32 @@ object SparkEntry {
         .select(id, col("raw_url"),
           TextQuality.canonicalUrl(col("raw_url")).as("canon"),
           TextQuality.registrableDomain(col("raw_url")).as("domain"))
+    }),
+
+    // CDX-indexed WARC random access: the archive is written with a
+    // same-pass (file, offset, length) index — gzip-member framing makes
+    // every record one-seek addressable — and read back ENTIRELY through
+    // distributed point reads (seek → gunzip one member → parse one
+    // record). The oracle recomputes everything from the raw table; a
+    // wrong offset, length, or surt key anywhere flips the hash.
+    "q72_warc_cdx" -> ((s, d) => {
+      val path = s"${SmokeWorld.auxDir}/tmp_warc_cdx"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      val page = concat(lit("<html><body><h1>doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"), lit("</p></body></html>"))
+      val pages = t(s, d, "documents").select(
+        concat(lit("https://example.test/doc/"), col("doc_id").cast("string")).as("url"),
+        (lit(1735689600L) + col("doc_id") % 86400).cast("timestamp").as("warc_ts"),
+        encode(page, "UTF-8").as("html"))
+      graft.sources.Warc.writePagesIndexed(pages.repartition(4, col("url")), path)
+      graft.sources.Warc.readViaIndex(s, path)
+        .join(graft.sources.Warc.readIndex(s, path).select("url", "surt"), Seq("url"))
+        .select(
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("surt"),
+          unix_timestamp(col("warc_ts")).as("warc_epoch"),
+          decode(col("html"), "UTF-8").as("page"),
+          length(col("html")).as("n_bytes"))
     })
   )
 
@@ -1257,6 +1283,18 @@ object SparkEntry {
     // the hash
     "q68_warc_roundtrip" ->
       """SELECT doc_id, 1735689600 + doc_id % 86400 AS warc_epoch,
+        | '<html><body><h1>doc ' || doc_id || '</h1><p>' || text
+        |   || '</p></body></html>' AS page,
+        | octet_length(encode('<html><body><h1>doc ' || doc_id || '</h1><p>'
+        |   || text || '</p></body></html>')) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    // CDX random-access leg: same relational recomputation as q68 plus the
+    // SURT key — the Spark rows came through per-record seeks driven by
+    // the same-pass index, so offset/length/surt errors all flip the hash
+    "q72_warc_cdx" ->
+      """SELECT doc_id, 'test,example)/doc/' || doc_id AS surt,
+        | 1735689600 + doc_id % 86400 AS warc_epoch,
         | '<html><body><h1>doc ' || doc_id || '</h1><p>' || text
         |   || '</p></body></html>' AS page,
         | octet_length(encode('<html><body><h1>doc ' || doc_id || '</h1><p>'

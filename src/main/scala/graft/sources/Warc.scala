@@ -285,4 +285,152 @@ object Warc {
   def readPages(spark: SparkSession, path: String): DataFrame =
     read(spark, path).where(org.apache.spark.sql.functions.col("warc_type") === "response")
       .select("url", "warc_ts", "html", "record_id", "warc_file")
+
+  // ---- CDX-style index + random access --------------------------------
+
+  /** One index row per response record: because every record is its own
+    * gzip member, (warc_file, offset, length) addresses it with ONE seek —
+    * no scan. `surt` is the CDX sort key (reversed host labels + path). */
+  case class WarcIndexEntry(
+      surt: String,
+      url: String,
+      record_id: String,
+      warc_file: String,
+      offset: Long,
+      length: Int)
+
+  /** SURT (Sort-friendly URI Reordering Transform) key, the ordering CDX
+    * indexes use so one host's records sort together: lowercased host
+    * labels reversed and comma-joined, then `)` and the path (fragment
+    * dropped, default ports gone via the lowering regex group). */
+  def surtKey(url: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("^[^/]+//(?:www\\.)?([^/:#]+)(?::\\d+)?([^#]*)").matcher(url.toLowerCase)
+    if (!m.find()) url.toLowerCase
+    else m.group(1).split('.').reverse.mkString(",") + ")" + m.group(2)
+  }
+
+  /**
+   * Like [[writePages]], but additionally lands a parquet CDX index
+   * (`$path/_index/`) built IN THE SAME PASS — each member's byte offset
+   * is known as it is appended, so the index costs nothing extra. One
+   * Spark job: the shard write happens inside the index rows'
+   * materialization; no driver round-trip carries record data.
+   */
+  def writePagesIndexed(df: DataFrame, path: String): Unit = {
+    val hadoopKVs = HadoopConf.kvs(df.sparkSession)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idx = df.select("url", "warc_ts", "html").rdd.mapPartitionsWithIndex { (i, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val conf = HadoopConf.build(hadoopKVs)
+        val dir = new org.apache.hadoop.fs.Path(path)
+        val fs = dir.getFileSystem(conf)
+        fs.mkdirs(dir)
+        val name = f"part-$i%05d.warc.gz"
+        val ctx = org.apache.spark.TaskContext.get()
+        val attempt = if (ctx == null) 0L else ctx.taskAttemptId()
+        val f = new org.apache.hadoop.fs.Path(dir, name)
+        val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.$attempt.tmp")
+        val out = fs.create(tmp, true)
+        val entries = Seq.newBuilder[WarcIndexEntry]
+        try {
+          var off = 0L
+          val info = gzMember(warcinfo(name))
+          out.write(info); off += info.length
+          it.foreach { r =>
+            val url = r.getString(0)
+            val member = gzMember(responseRecord(
+              url, r.getTimestamp(1).getTime, r.getAs[Array[Byte]](2)))
+            out.write(member)
+            entries += WarcIndexEntry(surtKey(url), url, recordId(url),
+              f.toString, off, member.length)
+            off += member.length
+          }
+        } finally out.close()
+        if (fs.exists(f)) fs.delete(f, false)
+        if (!fs.rename(tmp, f) && !fs.exists(f))
+          throw new java.io.IOException(s"rename $tmp -> $f failed")
+        entries.result().iterator
+      }
+    }.toDS()
+    idx.write.mode("overwrite").parquet(s"$path/_index")
+  }
+
+  /** The CDX index of an archive written with [[writePagesIndexed]]. */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_index")
+
+  /** Point read: ONE seek into the archive, gunzip one member, parse one
+    * record. The 100-TB access path for url→page lookups (via the index)
+    * that never touches the other 10¹² records. */
+  def readRecordAt(conf: org.apache.hadoop.conf.Configuration,
+      file: String, offset: Long, length: Int): WarcRow = {
+    if (length < 0 || length > MaxRecord)
+      return WarcRow(s"parse aborted: unreasonable member length $length",
+        new java.sql.Timestamp(0L), Array.emptyByteArray, "__corrupt__", "__corrupt__", file)
+    val fp = new org.apache.hadoop.fs.Path(file)
+    val in = fp.getFileSystem(conf).open(fp)
+    try {
+      in.seek(offset)
+      val member = readFully(in, length)
+      val gz = new GZIPInputStream(new java.io.ByteArrayInputStream(member))
+      parseStream(gz, file).headOption.getOrElse(
+        WarcRow("parse aborted: empty member", new java.sql.Timestamp(0L),
+          Array.emptyByteArray, "__corrupt__", "__corrupt__", file))
+    } catch {
+      case e: Exception =>
+        WarcRow(s"parse aborted: ${e.getMessage}", new java.sql.Timestamp(0L),
+          Array.emptyByteArray, "__corrupt__", "__corrupt__", file)
+    } finally in.close()
+  }
+
+  /**
+   * Read the whole archive THROUGH the index's random-access path —
+   * distributed point reads, index rows repartitioned by file and sorted
+   * by offset within each partition so one open stream per file walks
+   * forward (seeks never go backwards). Exists to certify the seek path
+   * at full coverage (q72); selective lookups filter the index first and
+   * reuse the same kernel.
+   */
+  def readViaIndex(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val hadoopKVs = HadoopConf.kvs(spark)
+    readIndex(spark, path)
+      .repartition(col("warc_file"))
+      .sortWithinPartitions(col("warc_file"), col("offset"))
+      .select("warc_file", "offset", "length")
+      .as[(String, Long, Int)]
+      .mapPartitions { it =>
+        val conf = HadoopConf.build(hadoopKVs)
+        var curFile: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        val rows = it.map { case (file, off, len) =>
+          if (file != curFile) {
+            if (in != null) in.close()
+            val fp = new org.apache.hadoop.fs.Path(file)
+            in = fp.getFileSystem(conf).open(fp); curFile = file
+          }
+          try {
+            in.seek(off)
+            val gz = new GZIPInputStream(
+              new java.io.ByteArrayInputStream(readFully(in, len)))
+            parseStream(gz, file).headOption.getOrElse(
+              WarcRow("parse aborted: empty member", new java.sql.Timestamp(0L),
+                Array.emptyByteArray, "__corrupt__", "__corrupt__", file))
+          } catch {
+            case e: Exception =>
+              WarcRow(s"parse aborted: ${e.getMessage}", new java.sql.Timestamp(0L),
+                Array.emptyByteArray, "__corrupt__", "__corrupt__", file)
+          }
+        }
+        new Iterator[WarcRow] {
+          def hasNext: Boolean = { val h = rows.hasNext; if (!h && in != null) { in.close(); in = null }; h }
+          def next(): WarcRow = rows.next()
+        }
+      }
+      .toDF()
+  }
 }

@@ -88,6 +88,56 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.head.url.contains("unreasonable Content-Length"))
   }
 
+  test("cdx index: one-seek point lookup recovers exactly the asked record") {
+    val dir = Files.createTempDirectory("warccdx").toString
+    Warc.writePagesIndexed(pages(29).repartition(3, col("url")), dir)
+    val idx = Warc.readIndex(spark, dir).collect()
+    assert(idx.length == 29)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // every entry random-accesses to its own record
+    idx.foreach { e =>
+      val r = Warc.readRecordAt(conf, e.getAs[String]("warc_file"),
+        e.getAs[Long]("offset"), e.getAs[Int]("length"))
+      assert(r.record_id != "__corrupt__", s"corrupt read for ${e.getAs[String]("url")}")
+      assert(r.url == e.getAs[String]("url"))
+      assert(new String(r.html, "UTF-8").contains(s"doc "))
+    }
+    // surt key sorts host-major
+    assert(idx.forall(_.getAs[String]("surt").startsWith("test,example)/road")))
+    // the index-driven full read equals the sequential scan, row for row
+    val viaIdx = Warc.readViaIndex(spark, dir)
+      .select("url", "warc_ts", "html").as[(String, java.sql.Timestamp, Array[Byte])]
+      .collect().sortBy(_._1)
+    val seqScan = Warc.readPages(spark, dir)
+      .select("url", "warc_ts", "html").as[(String, java.sql.Timestamp, Array[Byte])]
+      .collect().sortBy(_._1)
+    assert(viaIdx.length == 29 && seqScan.length == 29)
+    viaIdx.zip(seqScan).foreach { case ((u1, t1, h1), (u2, t2, h2)) =>
+      assert(u1 == u2 && t1 == t2 && java.util.Arrays.equals(h1, h2))
+    }
+  }
+
+  test("cdx point read survives a bad offset/length visibly") {
+    val dir = Files.createTempDirectory("warccdx2").toString
+    Warc.writePagesIndexed(pages(3).coalesce(1), dir)
+    val e = Warc.readIndex(spark, dir).collect().head
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = e.getAs[String]("warc_file")
+    // offset into the middle of a member: not a gzip header → sentinel
+    val bad = Warc.readRecordAt(conf, file, e.getAs[Long]("offset") + 7, e.getAs[Int]("length"))
+    assert(bad.record_id == "__corrupt__")
+    // hostile length rejected before allocation
+    val huge = Warc.readRecordAt(conf, file, e.getAs[Long]("offset"), Int.MaxValue)
+    assert(huge.record_id == "__corrupt__")
+    assert(huge.url.contains("unreasonable"))
+  }
+
+  test("surt key: host reversal, www/port/fragment drop") {
+    assert(Warc.surtKey("https://www.News.Co.UK:443/p/1#f") == "uk,co,news)/p/1")
+    assert(Warc.surtKey("http://a.b.c/x?q=2") == "c,b,a)/x?q=2")
+    assert(Warc.surtKey("https://host/") == "host)/")
+  }
+
   test("mid-file corruption keeps the complete records before it") {
     // render two valid members, then append garbage INSIDE a valid gzip member
     val dir = Files.createTempDirectory("warcmid").toString
