@@ -712,6 +712,35 @@ object SparkEntry {
           unix_timestamp(col("warc_ts")).as("warc_epoch"),
           decode(col("html"), "UTF-8").as("page"),
           length(col("html")).as("n_bytes"))
+    }),
+
+    // continuous-ingest composition: the same archive consumed by the
+    // STREAMING path (binaryFile landing dir → Warc kernel → one atomic
+    // SnapTable commit per micro-batch, file ledger in the snapshot
+    // summary) and graded through the snapshot-isolated scan. Streaming
+    // checkpointing, the snapshot table, and the WARC parser all sit under
+    // one oracle row.
+    "q73_warc_ingest_stream" -> ((s, d) => {
+      val landing = s"${SmokeWorld.auxDir}/tmp_warc_landing"
+      val root = s"${SmokeWorld.auxDir}/tmp_warc_snaptab"
+      val ckpt = s"${SmokeWorld.auxDir}/tmp_warc_ckpt"
+      Seq(landing, root, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      val page = concat(lit("<html><body><h1>doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"), lit("</p></body></html>"))
+      val pages = t(s, d, "documents").select(
+        concat(lit("https://example.test/doc/"), col("doc_id").cast("string")).as("url"),
+        (lit(1735689600L) + col("doc_id") % 86400).cast("timestamp").as("warc_ts"),
+        encode(page, "UTF-8").as("html"))
+      graft.sources.Warc.writePages(pages.repartition(4, col("url")), landing)
+      graft.streaming.StreamingOps.warcIngestToSnap(s, landing, root, ckpt)
+        .awaitTermination()
+      graft.sources.SnapTable.scan(s, root)
+        .select(
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          unix_timestamp(col("warc_ts")).as("warc_epoch"),
+          decode(col("html"), "UTF-8").as("page"),
+          length(col("html")).as("n_bytes"))
     })
   )
 
@@ -1282,6 +1311,17 @@ object SparkEntry {
     // streaming scan; a single corrupted byte anywhere in that leg flips
     // the hash
     "q68_warc_roundtrip" ->
+      """SELECT doc_id, 1735689600 + doc_id % 86400 AS warc_epoch,
+        | '<html><body><h1>doc ' || doc_id || '</h1><p>' || text
+        |   || '</p></body></html>' AS page,
+        | octet_length(encode('<html><body><h1>doc ' || doc_id || '</h1><p>'
+        |   || text || '</p></body></html>')) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    // streaming-ingest leg: identical recomputation — the rows travelled
+    // landing-dir → micro-batch → Warc parse → atomic snapshot commit →
+    // snapshot-isolated scan
+    "q73_warc_ingest_stream" ->
       """SELECT doc_id, 1735689600 + doc_id % 86400 AS warc_epoch,
         | '<html><body><h1>doc ' || doc_id || '</h1><p>' || text
         |   || '</p></body></html>' AS page,

@@ -94,6 +94,92 @@ object StreamingOps {
       }
       .start()
 
+  // ---- incremental WARC → snapshot-table ingest -------------------------
+
+  /** Landing-file names already committed, carried in the snapshot
+    * summary — the Iceberg-snapshot-summary analog — so the ingest ledger
+    * and the data are ONE atomic manifest (no separate ledger to desync
+    * from). */
+  def snapIngestedFiles(spark: SparkSession, tableRoot: String): Set[String] =
+    graft.sources.SnapTable.currentVersion(spark, tableRoot)
+      .map(v => graft.sources.SnapTable.manifest(spark, tableRoot, v)
+        .summary.split('\n').filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /**
+   * Commit one micro-batch of landed `.warc.gz` files into a [[graft.sources.SnapTable]]
+   * exactly once. `batch` is the binaryFile source frame (path, content).
+   * The already-ingested file set rides in the CURRENT snapshot's summary;
+   * fresh files are parsed by the [[graft.sources.Warc]] kernel
+   * (distributed — the driver touches file NAMES only) and appended with
+   * the updated set in the same atomic manifest. Crash anywhere and the
+   * replayed batch sees either the old summary (re-appends, parent
+   * manifest unchanged — the half-written data dir is orphaned, swept by
+   * expire) or the new one (skips everything): never a duplicate row.
+   * Single-writer per table root, like any streaming sink. Returns the
+   * number of files newly committed.
+   */
+  def warcIngestBatch(batch: DataFrame, tableRoot: String): Int = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val ingested = snapIngestedFiles(spark, tableRoot)
+    // file NAMES only — per-batch metadata, bounded by the source's
+    // maxFilesPerTrigger, never record data
+    val files = batch.select("path").as[String].distinct().collect()
+    val fresh = files.filterNot(p => ingested.contains(base(p)))
+    if (fresh.isEmpty) return 0
+    val rows = batch
+      .where(col("path").isin(fresh.toSeq: _*))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try graft.sources.Warc.parseStream(gz, base(p)) finally gz.close()
+      }
+      .where(col("warc_type") === "response")
+      .select("url", "warc_ts", "html", "warc_file")
+    graft.sources.SnapTable.append(rows, tableRoot, statsCols = Seq("url"),
+      summary = (ingested ++ fresh.map(base)).toSeq.sorted.mkString("\n"))
+    fresh.length
+  }
+
+  /**
+   * Continuous WARC ingest: watch a landing directory for `.warc.gz`
+   * files (the shape a crawler delivers), parse each through the Warc
+   * kernel, and land pages in a snapshot table with one atomic commit per
+   * micro-batch — restartable from the checkpoint AND idempotent beyond
+   * it via the summary-carried file ledger (kill −9 between the table
+   * commit and the stream checkpoint replays the batch into a no-op).
+   * Readers see snapshot-isolated versions throughout; `asOf` time travel
+   * works per micro-batch.
+   */
+  def warcIngestToSnap(spark: SparkSession, landingDir: String, tableRoot: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz")
+      // binaryFile's fixed schema, stated explicitly (streaming file
+      // sources don't infer)
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        warcIngestBatch(batch, tableRoot)
+        ()
+      }
+      .start()
+
   case class UrlEvent(url: String, text: String)
   case class SeenState(firstText: String)
 

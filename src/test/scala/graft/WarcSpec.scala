@@ -138,6 +138,51 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.surtKey("https://host/") == "host)/")
   }
 
+  test("streaming ingest: two landing waves → two snapshots, exactly-once") {
+    import graft.streaming.StreamingOps
+    import graft.sources.SnapTable
+    val landing = Files.createTempDirectory("warcland").toString
+    val root = Files.createTempDirectory("warcsnap").toString + "/t"
+    val ckpt = Files.createTempDirectory("warcckpt").toString
+    Warc.writePages(pages(10).coalesce(1), landing)
+    StreamingOps.warcIngestToSnap(spark, landing, root, ckpt).awaitTermination()
+    assert(SnapTable.scan(spark, root).count() == 10)
+    assert(SnapTable.currentVersion(spark, root).contains(1))
+    // wave 2: more files into the same landing dir, same checkpoint
+    Warc.writePages(pages(25).where(not($"url".isin(
+      pages(10).select("url").as[String].collect().toSeq: _*))).coalesce(1),
+      landing + "/wave2")
+    // move wave2 shard in under a distinct name
+    val w2 = new java.io.File(landing + "/wave2").listFiles().filter(_.getName.endsWith(".warc.gz")).head
+    Files.move(w2.toPath, java.nio.file.Paths.get(landing, "part-10000.warc.gz"))
+    StreamingOps.warcIngestToSnap(spark, landing, root, ckpt).awaitTermination()
+    assert(SnapTable.scan(spark, root).count() == 25)
+    assert(SnapTable.currentVersion(spark, root).contains(2))
+    // exact rows: every url once
+    val urls = SnapTable.scan(spark, root).select("url").as[String].collect()
+    assert(urls.length == urls.distinct.length)
+    // time travel still sees wave 1 alone
+    assert(SnapTable.scan(spark, root, asOf = Some(1)).count() == 10)
+  }
+
+  test("streaming ingest survives a lost checkpoint: summary ledger makes replay a no-op") {
+    import graft.streaming.StreamingOps
+    import graft.sources.SnapTable
+    val landing = Files.createTempDirectory("warcland2").toString
+    val root = Files.createTempDirectory("warcsnap2").toString + "/t"
+    val ckpt1 = Files.createTempDirectory("warcckpt2a").toString
+    val ckpt2 = Files.createTempDirectory("warcckpt2b").toString
+    Warc.writePages(pages(8).coalesce(1), landing)
+    StreamingOps.warcIngestToSnap(spark, landing, root, ckpt1).awaitTermination()
+    assert(SnapTable.currentVersion(spark, root).contains(1))
+    // simulate the worst crash window: the checkpoint is GONE, the stream
+    // restarts from scratch and replays every file — the file ledger in
+    // the snapshot summary turns the replay into zero commits
+    StreamingOps.warcIngestToSnap(spark, landing, root, ckpt2).awaitTermination()
+    assert(SnapTable.currentVersion(spark, root).contains(1))
+    assert(SnapTable.scan(spark, root).count() == 8)
+  }
+
   test("mid-file corruption keeps the complete records before it") {
     // render two valid members, then append garbage INSIDE a valid gzip member
     val dir = Files.createTempDirectory("warcmid").toString
