@@ -126,9 +126,18 @@ object SnapTable {
    * written ONCE to a commit-private directory; only the manifest creation
    * races, and a lost race costs a re-read + re-merge of the (tiny) parent
    * manifest, never a data rewrite. Returns the committed version.
+   *
+   * `expectedParent` is the Iceberg "validate base snapshot" guard: when set,
+   * the commit succeeds only if the table head is still that version —
+   * otherwise it throws [[java.util.ConcurrentModificationException]] BEFORE
+   * publishing anything. Appends are commutative and never need it; an
+   * OVERWRITE whose content was derived from a read of version V (compaction,
+   * rewrite jobs) must pass `Some(V)`, or a concurrent append landing between
+   * the read and the commit would be silently dropped by the overwrite.
    */
   def commit(df: DataFrame, root: String, op: String,
-      statsCols: Seq[String] = Nil, summary: String = ""): Int = {
+      statsCols: Seq[String] = Nil, summary: String = "",
+      expectedParent: Option[Int] = None): Int = {
     require(op == "append" || op == "overwrite", s"bad op $op")
     val spark = df.sparkSession
     val dataDir = s"$root/data/${java.util.UUID.randomUUID().toString}"
@@ -151,6 +160,12 @@ object SnapTable {
     var attempt = 0
     while (attempt < 50) {
       val parent = currentVersion(spark, root).getOrElse(0)
+      expectedParent.foreach { exp =>
+        if (parent != exp)
+          throw new java.util.ConcurrentModificationException(
+            s"commit to $root expected head v$exp but found v$parent; " +
+              "re-derive from the new head and retry")
+      }
       val carried =
         if (op == "overwrite" || parent == 0) Seq.empty
         else manifest(spark, root, parent).files
@@ -253,6 +268,38 @@ object SnapTable {
     val schema = DataType.fromDDL(m.schemaDdl).asInstanceOf[StructType]
     val numeric = schema(column).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     m.files.filterNot(disjoint(_, column, lo, hi, numeric)).map(_.path)
+  }
+
+  /**
+   * Compaction: rewrite the CURRENT snapshot's rows into `targetFiles`
+   * files, range-clustered on `sortCol` when given, and commit the result
+   * as one atomic overwrite snapshot. The table-maintenance op a long-fed
+   * table needs at scale: streaming/ incremental appends leave one small
+   * file per micro-batch partition, and a 10¹²-row table read through
+   * thousands of tiny footers loses both scan throughput and pruning
+   * power. `repartitionByRange` makes per-file min/max DISJOINT on the
+   * cluster column, so [[scanRange]]'s manifest pruning afterwards plans
+   * ~one file per range slice instead of all of them. Data files are
+   * immutable — prior snapshots keep reading their own files (time travel
+   * intact) until [[expire]] sweeps them; a crash mid-compaction leaves
+   * the current snapshot untouched (the new files are orphans). The commit
+   * carries `expectedParent = cur`, so an append racing in between the read
+   * and the publish makes compaction FAIL (ConcurrentModificationException)
+   * rather than silently drop the appended rows — the caller re-runs against
+   * the new head. Returns the committed version.
+   */
+  def compact(spark: SparkSession, root: String, sortCol: Option[String] = None,
+      targetFiles: Int = 8): Int = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots at $root"))
+    val df = scan(spark, root, asOf = Some(cur))
+    val arranged = sortCol match {
+      case Some(c) => df.repartitionByRange(targetFiles, col(c))
+        .sortWithinPartitions(col(c))
+      case None => df.repartition(targetFiles)
+    }
+    commit(arranged, root, "overwrite", statsCols = sortCol.toSeq,
+      summary = s"compact of v$cur", expectedParent = Some(cur))
   }
 
   /**

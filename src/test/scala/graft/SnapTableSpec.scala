@@ -114,6 +114,52 @@ class SnapTableSpec extends AnyFunSuite {
       : Unit
   }
 
+  test("compact: many small files -> targetFiles range-clustered files, " +
+      "rows identical, pruning restored, time travel intact") {
+    val root = freshRoot()
+    // 6 appends of 4 partitions each = 24 small files; ids INTERLEAVED
+    // (id % 6 == i) so every file's min/max spans ~the whole [0,600) range —
+    // the worst case incremental feeding produces for stats pruning
+    (0 until 6).foreach { i =>
+      val slice = spark.range(0, 600).toDF("id").filter(col("id") % 6 === i)
+        .withColumn("body", concat(lit("doc-"), col("id")))
+      SnapTable.append(slice.repartition(4), root, Seq("id"))
+    }
+    val before = SnapTable.manifest(spark, root, 6)
+    assert(before.files.size >= 20, s"expected many small files, got ${before.files.size}")
+    // every file overlaps [250,260) pre-compact (random repartition), so no pruning
+    assert(SnapTable.plannedFiles(spark, root, "id", "250", "259").size ==
+      before.files.size)
+
+    val v = SnapTable.compact(spark, root, sortCol = Some("id"), targetFiles = 4)
+    assert(v == 7)
+    val after = SnapTable.manifest(spark, root, 7)
+    assert(after.files.size <= 4)
+    assert(after.summary == "compact of v6")
+    // rows byte-identical (same multiset of (id, body))
+    val got = SnapTable.scan(spark, root).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 600L))
+    // range clustering makes per-file stats disjoint: a narrow slice plans 1 file
+    assert(SnapTable.plannedFiles(spark, root, "id", "250", "259").size == 1)
+    // time travel to the pre-compact snapshot still reads the old files
+    assert(SnapTable.scan(spark, root, asOf = Some(6)).count() == 600)
+  }
+
+  test("compact CAS guard: a racing append fails the compaction, no row loss") {
+    val root = freshRoot()
+    SnapTable.append(docs(0, 50), root, Seq("id"))
+    // simulate the race: head moves after compact's read would have happened —
+    // drive commit directly with a stale expectedParent
+    SnapTable.append(docs(50, 60), root, Seq("id")) // head is now v2
+    intercept[java.util.ConcurrentModificationException] {
+      SnapTable.commit(docs(0, 50), root, "overwrite", Seq("id"),
+        summary = "compact of v1", expectedParent = Some(1))
+    }: Unit
+    // nothing was published: head still v2, all 60 rows readable
+    assert(SnapTable.currentVersion(spark, root).contains(2))
+    assert(SnapTable.scan(spark, root).count() == 60)
+  }
+
   test("schema rides in the manifest: scan needs no footer inference") {
     val root = freshRoot()
     SnapTable.append(docs(0, 5).withColumn("score", col("id") * 1.5), root)
