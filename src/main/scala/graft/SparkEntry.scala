@@ -741,6 +741,25 @@ object SparkEntry {
           unix_timestamp(col("warc_ts")).as("warc_epoch"),
           decode(col("html"), "UTF-8").as("page"),
           length(col("html")).as("n_bytes"))
+    }),
+
+    // corpus-wide LINE-level exact dedup (CCNet/Gopher preprocessing):
+    // multi-line pages are planted deterministically — a boilerplate line
+    // in EVERY doc, a per-(doc_id%7) footer, a within-doc repeat — then
+    // every line keeps only its globally-first (doc, position) occurrence.
+    // min(struct) grouped by the line partial-aggregates map-side, so the
+    // corpus-wide boilerplate line is NOT a hot key (no window over line)
+    "q74_line_dedup" -> ((s, d) => {
+      val id = col("doc_id")
+      val uniq = concat(lit("doc "), id.cast("string"), lit(" says "),
+        substring(col("text"), 1, 30))
+      val page = concat_ws(". ",
+        lit("subscribe to our newsletter"),
+        concat(lit("footer of site "), (id % 7).cast("string")),
+        uniq, uniq,
+        concat(lit("contact doc "), id.cast("string")))
+      graft.operators.Dedup.lineDedup(
+        t(s, d, "documents").select(id, page.as("text")), "doc_id", "text")
     })
   )
 
@@ -1321,6 +1340,35 @@ object SparkEntry {
     // streaming-ingest leg: identical recomputation — the rows travelled
     // landing-dir → micro-batch → Warc parse → atomic snapshot commit →
     // snapshot-isolated scan
+    // line-level dedup: identical planted pages; first-occurrence rule
+    // mirrored as a row_number window ordered by (doc_id, idx) — the
+    // semantics the Spark min(struct) aggregation implements shuffle-lean
+    "q74_line_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, concat_ws('. ',
+        |    'subscribe to our newsletter',
+        |    'footer of site ' || CAST(doc_id % 7 AS VARCHAR),
+        |    'doc ' || CAST(doc_id AS VARCHAR) || ' says ' || substr(text,1,30),
+        |    'doc ' || CAST(doc_id AS VARCHAR) || ' says ' || substr(text,1,30),
+        |    'contact doc ' || CAST(doc_id AS VARCHAR)) AS text FROM documents),
+        |arr AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split(text,'.'),
+        |    x -> trim(x)), x -> x != '') AS ls FROM docs),
+        |lines AS (
+        |  SELECT doc_id, CAST(unnest(range(len(ls))) AS BIGINT) AS idx,
+        |    unnest(ls) AS line FROM arr),
+        |keep AS (
+        |  SELECT doc_id, idx, line FROM (
+        |    SELECT doc_id, idx, line,
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        |    FROM lines) WHERE rn = 1)
+        |SELECT a.doc_id,
+        |  coalesce(string_agg(k.line, '. ' ORDER BY k.idx), '') AS text_deduped,
+        |  count(k.idx) AS n_kept,
+        |  any_value(len(a.ls)) AS n_lines
+        |FROM arr a LEFT JOIN keep k USING (doc_id)
+        |GROUP BY a.doc_id""".stripMargin,
+
     "q73_warc_ingest_stream" ->
       """SELECT doc_id, 1735689600 + doc_id % 86400 AS warc_epoch,
         | '<html><body><h1>doc ' || doc_id || '</h1><p>' || text

@@ -763,4 +763,51 @@ object Dedup {
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("comp"))
       .withColumn("keeper", col("comp") === col(idCol))
   }
+
+  /** The corpus line convention shared with TextQuality.repetitionStats:
+    * sentence-ish units split on ".", trimmed, empties dropped. */
+  private def lineArray(text: Column): Column =
+    filter(transform(split(text, "\\."), s => trim(s)), s => s =!= "")
+
+  /**
+   * Corpus-wide LINE-level exact dedup (the CCNet/Gopher preprocessing
+   * step doc-level dedup can't express): every line keeps only its
+   * globally-FIRST occurrence, ordered by (doc id, position in doc) —
+   * boilerplate shared across millions of pages (nav bars, cookie
+   * banners, footers) survives exactly once, in the earliest document,
+   * and within-doc repeats collapse to the first. Documents whose every
+   * line lost are kept with empty text (length-based quality gates
+   * downstream drop them).
+   *
+   * Scale shape — two aggregations and one join, NO window over the line
+   * key: the first-occurrence rule is `min(struct(id, idx))` grouped by
+   * the line itself, which PARTIAL-aggregates map-side, so a boilerplate
+   * line occurring 10⁸ times ships one candidate per input partition to
+   * the shuffle, not 10⁸ rows (a `row_number() over (partition by line)`
+   * window would ship them all to one task). Winner positions then group
+   * by doc id (slim ints) and join back to the corpus on its key; lines
+   * re-derive per-row from the text at reassembly, so line BYTES cross
+   * the wire only inside the distinct-lines aggregation.
+   *
+   * Output: (idCol, text_deduped, n_kept, n_lines), reassembled with
+   * ". " preserving original order.
+   */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val arr = lineArray(col(textCol))
+    val lines = df.select(id, posexplode(arr).as(Seq("idx", "line")))
+    val winners = lines
+      .groupBy("line")
+      .agg(min(struct(id, col("idx"))).as("w"))
+      .select(col(s"w.$idCol").as(idCol), col("w.idx").as("idx"))
+    val keep = winners.groupBy(idCol)
+      .agg(sort_array(collect_list(col("idx"))).as("keep_idx"))
+    df.join(keep, Seq(idCol), "left")
+      .select(id,
+        concat_ws(". ", transform(
+          coalesce(col("keep_idx"), array().cast("array<int>")),
+          i => element_at(arr, i + 1))).as("text_deduped"),
+        coalesce(size(col("keep_idx")), lit(0)).cast("long").as("n_kept"),
+        size(arr).cast("long").as("n_lines"))
+  }
 }

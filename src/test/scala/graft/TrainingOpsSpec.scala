@@ -901,4 +901,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(m.count { case (_, b) => b == big } == 1,
       s"the oversized doc must sit alone in its bin: ${m.toSeq}")
   }
+
+  test("lineDedup: global first occurrence wins; within-doc repeats collapse; " +
+      "all-lost docs keep empty text; order preserved") {
+    val rows = Seq(
+      (1L, "boiler. alpha one. alpha one. unique one"),
+      (2L, "boiler. beta two. unique two"),
+      (3L, "boiler. alpha one"), // every line first-seen elsewhere
+      (4L, "gamma four. boiler. gamma four. tail four")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(rows, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((1L, "boiler. alpha one. unique one", 3L, 4L)))
+    assert(got(1) == ((2L, "beta two. unique two", 2L, 3L)))
+    assert(got(2) == ((3L, "", 0L, 2L)))
+    assert(got(3) == ((4L, "gamma four. tail four", 2L, 4L)))
+  }
 }
