@@ -760,6 +760,20 @@ object SparkEntry {
         concat(lit("contact doc "), id.cast("string")))
       graft.operators.Dedup.lineDedup(
         t(s, d, "documents").select(id, page.as("text")), "doc_id", "text")
+    }),
+
+    // CCNet-style LM quality scoring: add-one-smoothed bigram model
+    // trained on the reference slice (doc_id % 101 == 0 — the same split
+    // q70 uses for eval), every other document scored by per-token
+    // negative log-likelihood. Model tables broadcast (reference corpora
+    // are bounded); the corpus side is one doc+gram-keyed aggregation —
+    // no gram-keyed shuffle of the crawl
+    "q75_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.TextQuality.lmScore(
+        docs.where(col("doc_id") % 101 =!= 0),
+        docs.where(col("doc_id") % 101 === 0),
+        "doc_id", "text")
     })
   )
 
@@ -1368,6 +1382,40 @@ object SparkEntry {
         |  any_value(len(a.ls)) AS n_lines
         |FROM arr a LEFT JOIN keep k USING (doc_id)
         |GROUP BY a.doc_id""".stripMargin,
+
+    // LM scoring: identical bigram construction (q69's 1-indexed list
+    // comprehension), identical add-one model math; ln is IEEE-identical
+    // up to an ulp so both sides round the final statistic to 6dp
+    "q75_lm_score" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '') AS ws
+        | FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest([ws[CAST(i AS INT)] for i in range(1, len(ws))]) AS ctx,
+        |  unnest([ws[CAST(i AS INT)+1] for i in range(1, len(ws))]) AS w
+        | FROM w WHERE len(ws) >= 2),
+        |model AS (SELECT ctx, w, count(*) AS cnt FROM bg
+        | WHERE doc_id % 101 = 0 GROUP BY 1, 2),
+        |ctxc AS (SELECT ctx, count(*) AS ctx_cnt FROM bg
+        | WHERE doc_id % 101 = 0 GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT x) AS v FROM
+        |  (SELECT unnest(ws) AS x FROM w WHERE doc_id % 101 = 0)),
+        |docbg AS (SELECT doc_id, ctx, w, count(*) AS k FROM bg
+        | WHERE doc_id % 101 != 0 GROUP BY 1, 2, 3),
+        |terms AS (SELECT d.doc_id, d.k,
+        |  d.k * ln((coalesce(m.cnt, 0) + 1) * 1.0 / (coalesce(c.ctx_cnt, 0) + v.v)) AS term,
+        |  CASE WHEN m.cnt IS NULL THEN d.k ELSE 0 END AS oov_k
+        | FROM docbg d LEFT JOIN model m USING (ctx, w)
+        |  LEFT JOIN ctxc c USING (ctx) CROSS JOIN vocab v),
+        |s AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  round(-sum(term) / sum(k), 6) AS nll_per_token,
+        |  round(sum(oov_k) * 1.0 / sum(k), 6) AS oov_frac
+        | FROM terms GROUP BY 1)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+        | coalesce(s.nll_per_token, 0.0) AS nll_per_token,
+        | coalesce(s.oov_frac, 0.0) AS oov_frac
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |WHERE d.doc_id % 101 != 0""".stripMargin,
 
     "q73_warc_ingest_stream" ->
       """SELECT doc_id, 1735689600 + doc_id % 86400 AS warc_epoch,

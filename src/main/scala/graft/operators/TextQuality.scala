@@ -117,6 +117,70 @@ object TextQuality {
   }
 
   /**
+   * CCNet-style language-model quality scoring (Wenzek et al. 2020): train
+   * an add-one-smoothed bigram model on a curated REFERENCE slice, then
+   * score every corpus document by per-token negative log-likelihood —
+   * low NLL ≈ reference-like prose, high NLL ≈ gibberish/boilerplate.
+   * The reference pipeline uses a pruned KenLM; the relational core is the
+   * same: a gram-count model plus a per-document weighted sum of log
+   * conditional probabilities,
+   *   p(w|ctx) = (c(ctx,w) + 1) / (c(ctx) + V).
+   *
+   * Scale shape: the model is built from the reference slice with two
+   * map-side-combining groupBys (bigram counts, context counts) and one
+   * count-distinct (vocabulary). Reference corpora are BOUNDED by
+   * construction (a curated slice, not the crawl), so the model tables are
+   * explicitly broadcast and the corpus side never shuffles on a gram key:
+   * each document first collapses to its (doc, ctx, w) → k type counts
+   * (shuffle keyed by doc+gram — no hot key at any document size), then
+   * map-side-joins the model and reduces to one row per document. The
+   * scoring pass over a 10¹²-page corpus is therefore one gram-keyed
+   * aggregation plus broadcast lookups.
+   *
+   * Output: one row per corpus document — id, n_bigrams, nll_per_token
+   * (rounded 6dp; 0.0 for docs with <2 tokens), oov_frac (fraction of
+   * bigram tokens whose (ctx,w) pair the model never saw).
+   */
+  def lmScore(corpus: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val id = col(idCol)
+    def bigrams(df: DataFrame): DataFrame = {
+      val ws = words(col(textCol))
+      df.select(id,
+          explode(transform(sequence(lit(0), size(ws) - 2),
+            i => struct(element_at(ws, i + 1).as("ctx"),
+              element_at(ws, i + 2).as("w")))).as("bg"))
+        .where(size(ws) >= 2)
+        .select(id, col("bg.ctx").as("ctx"), col("bg.w").as("w"))
+    }
+    val refBg = bigrams(reference)
+    val model = refBg.groupBy("ctx", "w").agg(count(lit(1)).as("cnt"))
+    val ctxCnt = refBg.groupBy("ctx").agg(count(lit(1)).as("ctx_cnt"))
+    val vocab = reference.select(explode(words(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val docBg = bigrams(corpus)
+      .groupBy(id, col("ctx"), col("w")).agg(count(lit(1)).as("k"))
+    val scored = docBg
+      .join(broadcast(model), Seq("ctx", "w"), "left")
+      .join(broadcast(ctxCnt), Seq("ctx"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(id, col("k"),
+        (col("k") * log((coalesce(col("cnt"), lit(0L)) + 1).cast("double")
+          / (coalesce(col("ctx_cnt"), lit(0L)) + col("v")).cast("double")))
+          .as("term"),
+        when(col("cnt").isNull, col("k")).otherwise(lit(0L)).as("oov_k"))
+      .groupBy(id)
+      .agg(sum(col("k")).as("n_bigrams"),
+        round(-sum(col("term")) / sum(col("k")), 6).as("nll_per_token"),
+        round(sum(col("oov_k")).cast("double") / sum(col("k")), 6).as("oov_frac"))
+    corpus.select(id).join(scored, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_per_token"), lit(0.0)).as("nll_per_token"),
+        coalesce(col("oov_frac"), lit(0.0)).as("oov_frac"))
+  }
+
+  /**
    * Canonical URL: lowercase scheme+authority, strip the default port
    * (:443/:80), strip the fragment, strip a `www.` host prefix, strip one
    * trailing slash. A pure composed-builtin string kernel — zero shuffle,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, Knn, ConflationPipeline, Multimodal}
+import graft.operators.{Dedup, Similarity, Knn, ConflationPipeline, Multimodal, TextQuality}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -900,6 +900,26 @@ class TrainingOpsSpec extends AnyFunSuite {
     val big = m.toMap.apply("2")
     assert(m.count { case (_, b) => b == big } == 1,
       s"the oversized doc must sit alone in its bin: ${m.toSeq}")
+  }
+
+  test("lmScore: hand-computed add-one bigram NLL; full-OOV doc; short doc zeros") {
+    // reference: "the cat sat. the cat ran" → bigram counts (the,cat)=2,
+    // (cat,sat)=1, (sat,the)=1, (cat,ran)=1; ctx the=2 cat=2 sat=1; V=4
+    val ref = Seq((101L, "the cat sat. the cat ran")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the cat sat"), // p=3/6, 2/6 → NLL=(ln2+ln3·…) hand-pinned below
+      (2L, "dog zebra"),   // unseen pair+ctx → p=1/(0+4); oov_frac=1
+      (3L, "x")            // <2 tokens → zeros
+    ).toDF("doc_id", "text")
+    val got = TextQuality.lmScore(corpus, ref, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got(0)._1 == 1L && got(0)._2 == 2L)
+    // -(ln(3/6)+ln(2/6))/2 = 0.8958797… → 0.89588 at 6dp
+    assert(math.abs(got(0)._3 - 0.89588) < 1e-9 && got(0)._4 == 0.0)
+    // -ln(1/4) = 1.3862943… → 1.386294
+    assert(got(1) == ((2L, 1L, 1.386294, 1.0)))
+    assert(got(2) == ((3L, 0L, 0.0, 0.0)))
   }
 
   test("lineDedup: global first occurrence wins; within-doc repeats collapse; " +
