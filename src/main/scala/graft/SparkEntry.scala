@@ -774,6 +774,20 @@ object SparkEntry {
         docs.where(col("doc_id") % 101 =!= 0),
         docs.where(col("doc_id") % 101 === 0),
         "doc_id", "text")
+    }),
+
+    // BM25 inverted-index search: probe queries are the first 3 words of
+    // each reference-slice doc; the whole corpus is the index. Query terms
+    // + per-term df broadcast, postings reduced map-side, top-5 per query
+    // through the salted two-level window (hot-query-proof, exact)
+    "q76_bm25_search" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+      val queries = docs.where(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(w, 1, 3)).as("qtext"))
+      graft.operators.Search.bm25TopK(
+        docs, queries, "doc_id", "text", "query_id", "qtext", k = 5)
     })
   )
 
@@ -1416,6 +1430,33 @@ object SparkEntry {
         | coalesce(s.oov_frac, 0.0) AS oov_frac
         |FROM documents d LEFT JOIN s USING (doc_id)
         |WHERE d.doc_id % 101 != 0""".stripMargin,
+
+    // BM25: identical tokenization, identical Okapi math with the same
+    // literal k1=1.2 b=0.75, scores rounded 6dp BEFORE ranking, ties on
+    // doc_id — the ranking is engine-reproducible by construction
+    "q76_bm25_search" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x != '') AS ws
+        | FROM documents),
+        |dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(ws) AS term FROM w) GROUP BY 1, 2),
+        |q AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:3])) AS term
+        | FROM w WHERE doc_id % 101 = 0),
+        |dft AS (SELECT term, count(*) AS df FROM tf
+        | WHERE term IN (SELECT term FROM q) GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id, count(*) AS n_terms,
+        |  round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |    * (tf.tf * 2.2)
+        |    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+        | FROM tf JOIN q USING (term) JOIN dft d USING (term)
+        |  JOIN dl USING (doc_id) CROSS JOIN stats s
+        | GROUP BY 1, 2)
+        |SELECT query_id, doc_id, n_terms, score, rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |WHERE rank <= 5""".stripMargin,
 
     "q73_warc_ingest_stream" ->
       """SELECT doc_id, 1735689600 + doc_id % 86400 AS warc_epoch,

@@ -902,6 +902,37 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"the oversized doc must sit alone in its bin: ${m.toSeq}")
   }
 
+  test("bm25TopK: hand-computed Okapi scores, multi-term accumulation, " +
+      "k cut, salt-invariance") {
+    // N=4, avgdl=2.25; df(apple)=1 df(banana)=2 df(cherry)=2
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry"),
+      (4L, "date")
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      (100L, "apple cherry"),
+      (101L, "banana cherry")
+    ).toDF("query_id", "qtext")
+    def run(salts: Int) = graft.operators.Search
+      .bm25TopK(docs, queries, "doc_id", "text", "query_id", "qtext",
+        k = 2, salts = salts)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    val got = run(8)
+    // q100: apple→doc1 (idf ln(1+3.5/1.5) × 4.4/3.5 = 1.513566),
+    //       cherry→doc3 (ln2 × 6.6/4.5 = 1.016616) beats doc2 (0.726154)
+    assert(got(0) == ((100L, 1L, 1L, 1.513566, 1)))
+    assert(got(1) == ((100L, 3L, 1L, 1.016616, 2)))
+    // q101: doc2 matches BOTH terms (2 × 0.726154… summed pre-round)
+    assert(got(2) == ((101L, 2L, 2L, 1.452308, 1)))
+    assert(got(3) == ((101L, 3L, 1L, 1.016616, 2)))
+    assert(got.length == 4)
+    assert(run(1).toSeq == got.toSeq, "salted plan must equal the naive window")
+  }
+
   test("lmScore: hand-computed add-one bigram NLL; full-OOV doc; short doc zeros") {
     // reference: "the cat sat. the cat ran" → bigram counts (the,cat)=2,
     // (cat,sat)=1, (sat,the)=1, (cat,ran)=1; ctx the=2 cat=2 sat=1; V=4
