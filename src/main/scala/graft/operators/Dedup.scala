@@ -792,6 +792,112 @@ object Dedup {
    * Output: (idCol, text_deduped, n_kept, n_lines), reassembled with
    * ". " preserving original order.
    */
+  /**
+   * Persistable per-document dedup signatures: (id, sig_key = md5 hex of
+   * the text bytes, minhash sig, LSH band keys) — the compact sketch a
+   * corpus snapshot stores so the NEXT crawl can dedup against it without
+   * re-reading old text ([[incrementalDedup]]). Same typed zero-shuffle
+   * kernel as [[minhashLshPairsCollapsed]].
+   */
+  def signatureTable(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 128, rowsPerBand: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idType = df.schema(idCol).dataType
+    df.select(col(idCol).cast("string"),
+        md5(coalesce(col(textCol), lit("")).cast("binary")),
+        coalesce(col(textCol), lit("")))
+      .as[(String, String, String)]
+      .mapPartitions(_.map { case (id, key, text) =>
+        val sig = minhashSigFromHashes(shingleHashes(text, shingleK), numHashes)
+        (id, key, sig, bandKeys(sig, rowsPerBand))
+      })
+      .toDF("__rawid", "sig_key", "sig", "bands")
+      .select(col("__rawid").cast(idType).as(idCol),
+        col("sig_key"), col("sig"), col("bands"))
+  }
+
+  /**
+   * Incremental dedup of a NEW crawl against a prior corpus snapshot — the
+   * monthly-Common-Crawl shape: the old corpus is never re-shingled, only
+   * its stored [[signatureTable]] sketch is touched, so each month costs
+   * O(new) not O(total). Three layers, deterministic precedence:
+   *
+   *  1. exact vs old     — new sig_key ∈ old sig_keys → `exact_dup`,
+   *     dup_of = min matching old id;
+   *  2. exact within new — a smaller-id new doc with the same sig_key →
+   *     `exact_dup`, dup_of = the group's min new id;
+   *  3. near vs old      — LSH band equi-join of new bands against the
+   *     STORED old bands (old×old is never joined — the incremental win),
+   *     signature-estimate prefilter (same 0.25 margin as q26), then exact
+   *     Jaccard ≥ threshold against the old text fetched per CANDIDATE
+   *     (slim ids through the band join; at archive scale the fetch is the
+   *     S14 CDX one-seek random access, not a corpus scan) → `near_dup`,
+   *     dup_of = min qualifying old id;
+   *  4. else `kept`, dup_of = -1.
+   *
+   * Near-dup is graded for EVERY new doc (not just exact survivors) so the
+   * precedence is a pure per-row coalesce — no iterative keeper feedback —
+   * and the q77 oracle can replay it relationally. New×new near-dups are
+   * intra-corpus dedup ([[minhashLshPairs]] / q59), not this operator's job.
+   * The old band side goes through the same [[capBuckets]] occupancy guard
+   * as the self-join form; a k-member boilerplate cluster in the snapshot
+   * costs k·(matching new rows) — linear in k, never k².
+   *
+   * Output: one row per new doc — (idCol, status, dup_of).
+   */
+  def incrementalDedup(newDocs: DataFrame, oldSigs: DataFrame, oldDocs: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 128, rowsPerBand: Int = 4,
+      threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
+    val idType = newDocs.schema(idCol).dataType
+    val newSigs = signatureTable(newDocs, idCol, textCol, shingleK, numHashes, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val exOld = newSigs.select(col(idCol), col("sig_key"))
+      .join(oldSigs.select(col(idCol).as("__dup"), col("sig_key")), "sig_key")
+      .groupBy(idCol).agg(min("__dup").as("dup_old"))
+    val grpMin = newSigs.groupBy("sig_key").agg(min(col(idCol)).as("__gmin"))
+    val exNew = newSigs.join(grpMin, "sig_key")
+      .filter(col("__gmin") < col(idCol))
+      .select(col(idCol), col("__gmin").as("dup_new"))
+
+    val newBanded = newSigs
+      .select(col(idCol).as("id_n"), posexplode(col("bands")).as(Seq("__b", "__h")))
+    val oldBanded = capBuckets(oldSigs
+      .select(col(idCol).as("id_o"), posexplode(col("bands")).as(Seq("__b", "__h"))),
+      maxBucket, "incrementalDedup(old)")
+    val cand = newBanded
+      .join(oldBanded, Seq("__b", "__h"))
+      .select("id_n", "id_o").distinct()
+    val estMin = math.max(threshold - 0.25, 0.0)
+    val estimated = cand
+      .join(newSigs.select(col(idCol).as("id_n"), col("sig").as("sig_n")), "id_n")
+      .join(oldSigs.select(col(idCol).as("id_o"), col("sig").as("sig_o")), "id_o")
+      .filter(graft.functions.vec.sig_eq_count(col("sig_n"), col("sig_o"))
+        .cast("double") / numHashes >= estMin)
+      .select("id_n", "id_o")
+    val near = estimated
+      .join(newDocs.select(col(idCol).as("id_n"),
+        charShinglesExpr(textCol, shingleK).as("sh_n")), "id_n")
+      .join(oldDocs.select(col(idCol).as("id_o"),
+        charShinglesExpr(textCol, shingleK).as("sh_o")), "id_o")
+      .filter(round(jaccard(col("sh_n"), col("sh_o")), 6) >= threshold)
+      .groupBy("id_n").agg(min("id_o").as("dup_near"))
+      .withColumnRenamed("id_n", idCol)
+
+    newDocs.select(col(idCol))
+      .join(exOld, Seq(idCol), "left")
+      .join(exNew, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("dup_old").isNotNull || col("dup_new").isNotNull, "exact_dup")
+          .when(col("dup_near").isNotNull, "near_dup")
+          .otherwise("kept").as("status"),
+        coalesce(col("dup_old"), col("dup_new"), col("dup_near"),
+          lit(-1).cast(idType)).as("dup_of"))
+  }
+
   def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
     val arr = lineArray(col(textCol))

@@ -902,6 +902,34 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"the oversized doc must sit alone in its bin: ${m.toSeq}")
   }
 
+  test("incrementalDedup: exact-vs-old wins over near; exact-within-new keeps " +
+      "the min id; near copy resolves to the min old id; fresh docs kept") {
+    val long = "the quick brown fox jumps over the lazy dog again and again"
+    val old = Seq(
+      (10L, long),
+      (20L, "completely different content about databases and storage engines"),
+      (30L, long) // exact dup inside OLD: min matching id must still be 10
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (100L, long),                                        // exact vs old
+      (101L, long + " extra!"),                            // near vs old (J≈0.85)
+      (102L, "entirely new thing nobody wrote before"),    // kept
+      (103L, "dup group body"),                            // kept (group min)
+      (104L, "dup group body")                             // exact within new
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(
+        newDocs, Dedup.signatureTable(old, "doc_id", "text"), old,
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (100L, "exact_dup", 10L),
+      (101L, "near_dup", 10L),
+      (102L, "kept", -1L),
+      (103L, "kept", -1L),
+      (104L, "exact_dup", 103L)))
+  }
+
   test("bm25TopK: hand-computed Okapi scores, multi-term accumulation, " +
       "k cut, salt-invariance") {
     // N=4, avgdl=2.25; df(apple)=1 df(banana)=2 df(cherry)=2
