@@ -86,6 +86,17 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
       org.apache.logging.log4j.Level.ERROR)
+    // the iterative loops (components, PageRank) release each superseded
+    // localCheckpoint generation on purpose; Spark logs a benign one-line
+    // WARN per release from the unpersisted RDD's own logger — silence the
+    // rdd category for the bench session so the artifact tail stays clean
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // the streaming query (q25) logs one benign "AQE disabled for
+    // streaming" WARN right before the JSON line — same cosmetic rule
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.ResolveWriteToStream",
+      org.apache.logging.log4j.Level.ERROR)
 
     // unmeasured warm-up: JVM/codegen/parquet-footer costs otherwise bill
     // entirely to whichever query runs first (q01 ran 35 s vs its same-shape

@@ -822,10 +822,128 @@ object SparkEntry {
         graft.operators.Dedup.signatureTable(old, "doc_id", "text"), root)
       graft.operators.Dedup.incrementalDedup(
         newDocs, graft.sources.SnapTable.scan(s, root), old, "doc_id", "text")
-    })
+    }),
+
+    // host-graph PageRank — the crawl-curation quality prior. The host
+    // link graph is synthesized deterministically from doc_ids (host =
+    // doc_id % 97; three arithmetic outlink rules), mirrored verbatim in
+    // the oracle. Ranks are BIGINT micro-units with floored divisions, so
+    // the DuckDB replay (the power iteration unrolled as 10 chained CTEs)
+    // grades every host's rank EXACTLY — no float tolerance
+    "q78_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      def e(m: Long, a: Long) = docs.select(
+        (col("doc_id") % 97).as("src"),
+        ((col("doc_id") * m + a) % 97).as("dst"))
+      graft.operators.WebGraph.pageRank(
+        e(7L, 1L).unionAll(e(13L, 3L)).unionAll(e(31L, 5L)),
+        "src", "dst", iters = 10)
+        .select(col("node").as("host_id"), col("rank").as("rank_micro"))
+    }),
+
+    // ExactSubstr-style repeated-span detection (Lee et al. 2021): a
+    // 12-word passage is planted at the end (%4==0), the start (%4==1),
+    // and doubled mid-page (%4==3, exercising intra-document repeats);
+    // %4==2 pages carry only their own text. Output = maximal merged
+    // spans of word-8-gram repeats, positions graded exactly
+    "q79_repeated_spans" -> ((s, d) => {
+      val id = col("doc_id")
+      val shared = lit("the quick brown fox jumps over the lazy dog again and again")
+      val page = when(id % 4 === 0, concat(col("text"), lit(" "), shared))
+        .when(id % 4 === 1, concat(shared, lit(" "), col("text")))
+        .when(id % 4 === 3,
+          concat(col("text"), lit(" "), shared, lit(" "), shared))
+        .otherwise(col("text"))
+      graft.operators.ExactSubstr.repeatedSpans(
+        t(s, d, "documents").select(id, page.as("text")), "doc_id", "text",
+        n = 8)
+    }),
+
+    // sliding token-window chunker (window 32, stride 24): every document
+    // becomes overlapping model-context pieces; chunk ids, starts, sizes
+    // and the chunk text itself are graded (pure integer arithmetic +
+    // list slicing on both sides)
+    "q80_chunk_windows" -> ((s, d) =>
+      graft.operators.TrainingSplits.chunkWindows(
+        t(s, d, "documents"), "doc_id", "text", window = 32, stride = 24))
   )
 
+  /** q78's oracle: the fixed-point power iteration unrolled as chained
+    * CTEs (DuckDB disallows aggregation over a recursive reference, and
+    * the iteration count is fixed anyway). Kept in code so the iteration
+    * count and damping constants can never drift from [[queries]]. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val head =
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |raw AS (
+        | SELECT doc_id % 97 AS src, (doc_id*7+1) % 97 AS dst FROM docs
+        | UNION ALL SELECT doc_id % 97, (doc_id*13+3) % 97 FROM docs
+        | UNION ALL SELECT doc_id % 97, (doc_id*31+5) % 97 FROM docs),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src != dst),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+        .stripMargin
+    val its = (1 to iters).map { i =>
+      // sum(BIGINT) is HUGEINT in DuckDB — cast back so the rank column
+      // stays BIGINT end-to-end (the driver compare is dtype-sensitive)
+      s"""r$i AS (SELECT n.node,
+         | CAST((15000000 + 85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+         | FROM nodes n LEFT JOIN (
+         |  SELECT e.dst, sum(r.rank // d.outdeg) AS s
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN deg d ON d.src = e.src GROUP BY 1) c ON c.dst = n.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"$head,\n$its\nSELECT node AS host_id, rank AS rank_micro FROM r$iters"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q78_pagerank" -> pageRankOracleSql(10),
+
+    // identical planted pages, identical tokenization, identical
+    // gaps-and-islands merge (break when the gap between flagged 8-gram
+    // starts exceeds 8)
+    "q79_repeated_spans" ->
+      """WITH base AS (SELECT doc_id,
+        | CASE WHEN doc_id % 4 = 0
+        |   THEN text || ' the quick brown fox jumps over the lazy dog again and again'
+        |  WHEN doc_id % 4 = 1
+        |   THEN 'the quick brown fox jumps over the lazy dog again and again ' || text
+        |  WHEN doc_id % 4 = 3
+        |   THEN text || ' the quick brown fox jumps over the lazy dog again and again'
+        |     || ' the quick brown fox jumps over the lazy dog again and again'
+        |  ELSE text END AS page
+        | FROM documents),
+        |w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(page), '[^a-z0-9]+'), x -> x != '') AS ws
+        | FROM base),
+        |g0 AS (SELECT doc_id, ws,
+        |  unnest(range(1, greatest(len(ws)-7, 0)+1)) AS p FROM w),
+        |g AS (SELECT doc_id, p, array_to_string(ws[p:p+7], ' ') AS gram FROM g0),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |f AS (SELECT doc_id, p FROM g WHERE gram IN (SELECT gram FROM dup)),
+        |b AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER
+        |   (PARTITION BY doc_id ORDER BY p) > 8 THEN 1 ELSE 0 END AS brk
+        | FROM f),
+        |isl AS (SELECT doc_id, p,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM b)
+        |SELECT doc_id, min(p) AS span_start, max(p)+7 AS span_end,
+        | max(p)+7 - min(p) + 1 AS span_tokens
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    "q80_chunk_windows" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '') AS ws
+        | FROM documents),
+        |n AS (SELECT doc_id, ws, CASE WHEN len(ws) <= 0 THEN 0
+        |  ELSE 1 + (greatest(len(ws) - 32, 0) + 23) // 24 END AS n_chunks FROM w),
+        |k AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS k FROM n)
+        |SELECT doc_id, k AS chunk_id, k*24 + 1 AS chunk_start,
+        | len(ws[k*24+1:k*24+32]) AS n_tokens,
+        | array_to_string(ws[k*24+1:k*24+32], ' ') AS chunk_text
+        |FROM k""".stripMargin,
+
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,
         | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue, count(*) AS n

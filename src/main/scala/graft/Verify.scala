@@ -20,6 +20,10 @@ object Verify {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
       org.apache.logging.log4j.Level.ERROR)
+    // benign one-line WARN per released localCheckpoint generation in the
+    // iterative loops (components, PageRank) — same rationale as Bench
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Side tables for the DuckDB oracle (smoke-world projections + per-sf
     // simhash/ANN/media tables); the oracle SQL references them through the

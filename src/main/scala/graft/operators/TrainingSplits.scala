@@ -173,4 +173,47 @@ object TrainingSplits {
       }
     packed.toDF("shard", "key", "n_tokens", "bin")
   }
+
+  /**
+   * Overlapping fixed-size token windows with stride — the chunker that
+   * turns documents into model-context-sized training/retrieval pieces
+   * (every RAG ingestion and long-document training pipeline carries one).
+   * Chunk k of a document covers tokens [k*stride+1, k*stride+window]
+   * (1-based); the last chunk starts at the last stride boundary that
+   * still exposes a new token and may be short. A document of w tokens
+   * yields 1 + ceil(max(w - window, 0) / stride) chunks; empty documents
+   * yield none. Consecutive chunks overlap by exactly window - stride
+   * tokens, so no token-boundary context is ever lost.
+   *
+   * Pure projection + posexplode: zero shuffle, zero state — chunk
+   * identity is a function of (doc, position) alone, so reruns, resumes
+   * and backfills produce identical chunk ids, the same determinism
+   * contract as [[hashSplit]]. Integer arithmetic only (replayed exactly
+   * by the q80 DuckDB oracle).
+   */
+  def chunkWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= "")
+    val nChunks = when(size(col("ws")) <= 0, lit(0))
+      .otherwise(lit(1) +
+        floor((greatest(size(col("ws")) - window, lit(0)) +
+          (stride - 1)) / stride).cast("int"))
+    df.select(col(idCol).cast("long").as("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(
+          when(nChunks > 0, sequence(lit(0), nChunks - 1))
+            .otherwise(array().cast("array<int>"))).as(Seq("p0", "k")))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+        (col("k") * stride + 1).cast("long").as("chunk_start"),
+        slice(col("ws"), col("k") * stride + 1, lit(window)).as("toks"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("toks")).as("chunk_text"))
+  }
 }

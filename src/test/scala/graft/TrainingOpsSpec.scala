@@ -998,4 +998,40 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got(2) == ((3L, "", 0L, 2L)))
     assert(got(3) == ((4L, "gamma four. tail four", 2L, 4L)))
   }
+
+  test("chunkWindows: exact chunk ids/starts/sizes, full token coverage, " +
+      "window-stride overlap, empty docs drop, no exchange in the plan") {
+    import graft.operators.TrainingSplits
+    val w10 = (1 to 25).map(i => s"w$i").mkString(" ") // 25 tokens
+    val rows = Seq(
+      (1L, w10),                       // window 10 stride 6 → chunks at 1,7,13,19
+      (2L, "a b c"),                   // shorter than window → one chunk
+      (3L, ""),                        // empty → no rows
+      (4L, (1 to 10).map(i => s"v$i").mkString(" ")) // exactly window → one chunk
+    ).toDF("doc_id", "text")
+    val got = TrainingSplits.chunkWindows(rows, "doc_id", "text",
+      window = 10, stride = 6)
+    val rowsGot = got.orderBy("doc_id", "chunk_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // doc 1: 25 tokens → 1 + ceil(15/6) = 4 chunks; last one short (19..25)
+    val d1 = rowsGot.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 1L, 10L), (1L, 7L, 10L), (2L, 13L, 10L), (3L, 19L, 7L)))
+    assert(d1.last._5 == (19 to 25).map(i => s"w$i").mkString(" "))
+    // consecutive chunks overlap by window - stride = 4 tokens
+    assert(d1(0)._5.split(" ").takeRight(4).toSeq ==
+      d1(1)._5.split(" ").take(4).toSeq)
+    // every token of doc 1 is covered by some chunk
+    val covered = d1.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (1L to 25L).toSet)
+    assert(rowsGot.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 3L, "a b c")))
+    assert(!rowsGot.exists(_._1 == 3L))
+    assert(rowsGot.filter(_._1 == 4L).map(c => (c._2, c._4)).toSeq ==
+      Seq((0L, 10L)))
+    // chunking is a pure projection: no Exchange anywhere in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
