@@ -1,0 +1,141 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * KMV (k-minimum-values) distinct-count sketch as a native Catalyst
+ * aggregate — the classic bottom-k estimator of Bar-Yossef, Jayram,
+ * Kumar, Sivakumar, Trevisan, "Counting Distinct Elements in a Data
+ * Stream" (RANDOM 2002): keep the k smallest hash values seen; if the
+ * k-th smallest of a 2^60 hash space is h, the distinct count is about
+ * (k-1) * 2^60 / h.
+ *
+ * Two properties make this one worth carrying as a first-class aggregate
+ * rather than composing `collect_set`:
+ *
+ *  - **bounded state**: the aggregation buffer is at most k longs no
+ *    matter how many rows a group holds — `collect_set` materializes the
+ *    whole group. At 10^12 pages a per-host distinct-URL profile crosses
+ *    the shuffle as ≤ k*8 bytes per host, combined map-side like any
+ *    partial aggregate (Spark plans it as ObjectHashAggregate with a
+ *    partial pass — merge is bottom-k of the union, order-insensitive).
+ *  - **exact replayability**: unlike HLL, the sketch's content is a pure
+ *    function of the input SET — the k smallest md5-prefix values, no
+ *    RNG, no insertion-order effects — so the q81 DuckDB oracle grades
+ *    the sketch AND the estimate value-for-value (the hash is the same
+ *    `('0x' || substr(md5(x),1,15))::BIGINT` the holdout split uses, and
+ *    the estimator is pure integer math: (k-1) * 2^60 // h).
+ *
+ * Output struct: sketch_size (#values kept), kth_hash (the k-th smallest
+ * hash, null while the group has fewer than k distinct values),
+ * est_distinct (exact size below k — the sketch IS the distinct set
+ * there — else the KMV estimate). NULL inputs are ignored, matching
+ * count(DISTINCT x) semantics.
+ */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 2, s"kmv sketch needs k >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("sketch_size", LongType, nullable = false),
+    StructField("kth_hash", LongType, nullable = true),
+    StructField("est_distinct", LongType, nullable = false)))
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  /** 60-bit hash: first 15 hex digits of md5(utf8) — numerically equal to
+    * the SQL `('0x' || substr(md5(x),1,15))::BIGINT` on both engines. */
+  private def hash60(s: UTF8String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes)
+    // 15 hex digits = the top 7.5 bytes; build from the first 8 bytes and
+    // drop the low nibble
+    val top8 =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    top8 >>> 4
+  }
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = hash60(v.asInstanceOf[UTF8String])
+      if (buf.size < k) buf.add(h)
+      else if (h < buf.last()) { if (buf.add(h)) buf.remove(buf.last()) }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    buf.addAll(other)
+    while (buf.size > k) buf.remove(buf.last())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val size = buf.size.toLong
+    if (size < k) InternalRow(size, null, size)
+    else {
+      val kth = buf.last().longValue()
+      val est = (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(kth)).toLong
+      InternalRow(size, kth, est)
+    }
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.forEach(v => bb.putLong(v))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def prettyName: String = "kmv_distinct"
+}
+
+object KmvSketch {
+  /** Column-API entry: `df.groupBy(...).agg(KmvSketch.kmvDistinct(col, 16))`.
+    * The child must be a string column (cast first for other types — the
+    * hash is defined on the string image, same as the md5 oracles). */
+  def kmvDistinct(c: Column, k: Int): Column =
+    Shim.col(KmvSketchAgg(Shim.expr(c), k).toAggregateExpression())
+}

@@ -131,6 +131,25 @@ object geo {
           .map(j => inner.getUTF8String(j).toString): Seq[String]
       }: Seq[Seq[String]]
       StopwordHits(w, sets)
+    }),
+    // aggregate: the analyzer wraps a bare AggregateFunction in an
+    // AggregateExpression during UnresolvedFunction resolution, same as
+    // the built-in sum/min; k must be a foldable int literal because it
+    // shapes the aggregation buffer
+    ("kmv_distinct", 2, { case Seq(a, kArg) =>
+      require(kArg.foldable && kArg.resolved,
+        "kmv_distinct expects a foldable integer k literal")
+      val k = kArg.eval() match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+        // a NULL k literal analyzes to the default sketch size rather than
+        // failing inside analysis as an opaque INTERNAL_ERROR (same policy
+        // as stopword_hits above)
+        case null => 1024
+        case other => throw new IllegalArgumentException(
+          s"kmv_distinct k literal must be integral, got $other")
+      }
+      KmvSketchAgg(a, k)
     }))
 
   /** Wrap a builder with an arity check (MatchError → readable error). */
