@@ -30,7 +30,9 @@ object PlanDump {
     "q80_chunk_windows" -> "token-window chunker: pure projection + posexplode — ZERO Exchange anywhere; chunk identity is a function of (doc, position), so the plan is embarrassingly parallel at any scale",
     "q81_kmv_sketch" -> "KMV sketch aggregate: ObjectHashAggregate with a partial_kmv_distinct pass on the map side — the shuffle carries one ≤k-long buffer per group, never the rows; merge is bottom-k of the union",
     "q82_asof_join" -> "as-of join: the lead() window runs over the SNAPSHOT side only (small per key); the event stream meets it in an equi-join on the key with the interval range as residual — one row out per event, no window and no pair blow-up on the big side",
-    "q83_cms_heavy_hitters" -> "count-min sketch: ObjectHashAggregate partial pass merges fixed 16 KB buffers per map partition (the shuffle never carries words); the probe side broadcasts the one-row sketch and evaluates element_at minima inline")
+    "q83_cms_heavy_hitters" -> "count-min sketch: ObjectHashAggregate partial pass merges fixed 16 KB buffers per map partition (the shuffle never carries words); the probe side broadcasts the one-row sketch and evaluates element_at minima inline",
+    "q84_bloom_prune" -> "bloom pruning: the seen side partial-aggregates into ONE m-bit buffer per map task (OR-merged), the candidate side meets it through a one-row BroadcastNestedLoopJoin and a codegen'd bit-test projection — the membership check itself costs zero shuffle; only the exactness join at the end exchanges rows",
+    "q85_zorder_layout" -> "z-order layout key: pure projection (shift/and/add chain inside one WholeStageCodegen span) — ZERO Exchange; the caller pays only the range partitioning of the sorted write it already wanted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -935,6 +935,45 @@ object SparkEntry {
         .join(truth, col("probe") === col("w"))
         .select(col("probe"), col("est_count"), col("true_count"),
           (col("est_count") - col("true_count")).as("overestimate"))
+    }),
+
+    // bloom-filter pruning (native TypedImperativeAggregate #3 — bitwise-
+    // OR merge, the shuffle-avoidance archetype): the even-doc_id half is
+    // the "prior crawl", its texts aggregated into ONE broadcast 1024-bit
+    // bloom; every candidate is probed by a codegen'd expression. m is
+    // deliberately small so the FALSE-POSITIVE sliver exists at sf0.01
+    // and is graded too: the bit set is a pure function of the seen set
+    // (double hashing over two disjoint md5 60-bit slices), so DuckDB
+    // replays every probe verdict — and truly_seen rides along to grade
+    // the no-false-negative guarantee (truly_seen=1 → bloom_hit=1)
+    "q84_bloom_prune" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val seen = docs.where(col("doc_id") % 2 === 0).select(col("text").as("k"))
+      val sketch = seen.agg(
+        graft.functions.Bloom.bloomBuild(col("k"), 1024, 2).as("bf"))
+      val probed = docs.crossJoin(broadcast(sketch))
+        .select(col("doc_id"), col("text"),
+          graft.functions.Bloom.mightContain(col("bf"), col("text"), 1024, 2)
+            .cast("long").as("bloom_hit"))
+      probed.join(seen.distinct(), col("text") === col("k"), "left_outer")
+        .select(col("doc_id"), col("bloom_hit"),
+          when(col("k").isNull, 0L).otherwise(1L).as("truly_seen"))
+    }),
+
+    // Z-order layout key: the Morton interleave graded bit-for-bit on
+    // every row (integer cell coords so both engines compute on exact
+    // values), plus the prefix block a range-partitioned writer would
+    // cluster files by. A pure projection — the layout op adds ZERO
+    // shuffle beyond the range partitioning the caller already pays for
+    // a sorted write; ZorderSpec holds the locality/pruning evidence
+    "q85_zorder_layout" -> ((s, d) => {
+      import graft.functions.geo._
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey") % 32).as("x"), (col("l_partkey") % 32).as("y"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+          morton_key(col("x"), col("y"), 5).as("zkey"))
+        .withColumn("zblock", shiftright(col("zkey"), 6))
     })
   )
 
@@ -1072,6 +1111,46 @@ object SparkEntry {
         |SELECT e.probe, e.est_count, t.true_count,
         | e.est_count - t.true_count AS overestimate
         |FROM est e JOIN truth t USING (probe)""".stripMargin,
+
+    // bloom: the bit SET is replayed relationally (double hashing over the
+    // same two disjoint md5 60-bit slices, m=1024, k=2); a probe hits iff
+    // all its bits appear in the seen side's bit set — false positives and
+    // all
+    "q84_bloom_prune" ->
+      """WITH seen AS (SELECT DISTINCT text AS k FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |sh AS (SELECT ('0x'||substr(md5(k),1,15))::BIGINT % 1024 AS h1,
+        |  ('0x'||substr(md5(k),17,15))::BIGINT % 1024 AS h2 FROM seen),
+        |bits AS (SELECT DISTINCT (h1 + i*h2) % 1024 AS bit
+        | FROM sh, unnest([0,1]) AS t(i)),
+        |cand AS (SELECT doc_id, text,
+        |  ('0x'||substr(md5(text),1,15))::BIGINT % 1024 AS h1,
+        |  ('0x'||substr(md5(text),17,15))::BIGINT % 1024 AS h2 FROM documents),
+        |cb AS (SELECT doc_id, (h1 + i*h2) % 1024 AS bit
+        | FROM cand, unnest([0,1]) AS t(i)),
+        |hits AS (SELECT doc_id,
+        |  CAST(min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS bloom_hit
+        | FROM cb LEFT JOIN bits b USING (bit) GROUP BY doc_id)
+        |SELECT c.doc_id, h.bloom_hit,
+        | CAST(CASE WHEN s.k IS NULL THEN 0 ELSE 1 END AS BIGINT) AS truly_seen
+        |FROM cand c JOIN hits h USING (doc_id)
+        |LEFT JOIN seen s ON c.text = s.k""".stripMargin,
+
+    // morton: the identical interleave arithmetic, unrolled relationally
+    // (sum over bit positions of the shifted-and-masked contributions)
+    "q85_zorder_layout" ->
+      """WITH pts AS (SELECT l_orderkey, l_linenumber,
+        |  l_orderkey % 32 AS x, l_partkey % 32 AS y FROM lineitem),
+        |z AS (SELECT l_orderkey, l_linenumber, x, y, CAST(
+        |    ((x >> 0) & 1) * 1   + ((y >> 0) & 1) * 2 +
+        |    ((x >> 1) & 1) * 4   + ((y >> 1) & 1) * 8 +
+        |    ((x >> 2) & 1) * 16  + ((y >> 2) & 1) * 32 +
+        |    ((x >> 3) & 1) * 64  + ((y >> 3) & 1) * 128 +
+        |    ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512 AS BIGINT) AS zkey
+        | FROM pts)
+        |SELECT l_orderkey, l_linenumber, x, y, zkey, zkey >> 6 AS zblock
+        |FROM z""".stripMargin,
 
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,

@@ -1,0 +1,152 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Bloom filter (Bloom, "Space/time trade-offs in hash coding with
+ * allowable errors", CACM 1970) as a native Catalyst aggregate — the
+ * pruning archetype that complements the two counting sketches
+ * ([[KmvSketchAgg]] bottom-k, [[CountMinAgg]] elementwise-add): a fixed
+ * m-bit set membership summary with NO false negatives, merged by
+ * bitwise OR.
+ *
+ * The web-scale role is shuffle avoidance. The reference's incremental
+ * ingest re-checks every candidate against the already-loaded set (the
+ * SQLite primary keys behind `src/services/targetMapsSQLiteService`); the
+ * Spark translation of that check is an anti-join that shuffles the FULL
+ * 10^12-row candidate side by key. With a bloom built over the seen set,
+ * the filter crosses the cluster as ONE broadcast row (m/8 bytes — 16 MB
+ * covers 10^8 keys at 1% fp), and a codegen'd per-row probe splits
+ * candidates into guaranteed-new (bloom-negative — the overwhelming
+ * majority on a fresh crawl, touched by NO join at all) and
+ * possibly-seen (bloom-positive — only this sliver pays the exact
+ * anti-join). [[graft.operators.BloomJoin.antiJoin]] packages the
+ * two-phase split with exact anti-join semantics.
+ *
+ * Replayability contract (what the q85 oracle grades): double hashing
+ * h_i(x) = (h1 + i*h2) mod m over the same two disjoint 60-bit md5
+ * slices both engines compute — h1 = `('0x'||substr(md5(x),1,15))::
+ * BIGINT % m`, h2 = the same over hex chars 17..31 — so the exact bit
+ * set, hence every probe verdict INCLUDING the false positives, is a
+ * pure function of the input set that DuckDB replays value-for-value.
+ * NULL inputs are ignored (a null key matches nothing, like anti-join).
+ *
+ * Output: the bitset as array<long>, word j holding bits [64j, 64j+64)
+ * little-endian; probe with [[Bloom.mightContain]] (pure built-ins).
+ */
+case class BloomAgg(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(numBits >= 64 && numBits % 64 == 0 && numBits <= (1 << 30),
+    s"bloom numBits must be a multiple of 64 in [64, 2^30], got $numBits")
+  require(numHashes >= 1 && numHashes <= 16,
+    s"bloom numHashes must be in [1,16], got $numHashes")
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](numBits / 64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(v.asInstanceOf[UTF8String].getBytes)
+      // two disjoint 60-bit slices: hex digits [1,15] and [17,31] — the
+      // top 60 bits of bytes 0..7 and of bytes 8..15 (drop each low nibble)
+      def slice60(off: Int): Long = {
+        var top8 = 0L
+        var i = 0
+        while (i < 8) { top8 = (top8 << 8) | (d(off + i) & 0xffL); i += 1 }
+        top8 >>> 4
+      }
+      val h1 = slice60(0) % numBits
+      val h2 = slice60(8) % numBits
+      var i = 0
+      while (i < numHashes) {
+        val bit = ((h1 + i * h2) % numBits).toInt
+        buf(bit >>> 6) |= 1L << (bit & 63)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def prettyName: String = "bloom_build"
+}
+
+object Bloom {
+  import org.apache.spark.sql.functions._
+
+  /** Aggregate a string key column into an m-bit bloom filter. */
+  def bloomBuild(c: Column, numBits: Int, numHashes: Int): Column =
+    Shim.col(BloomAgg(Shim.expr(c), numBits, numHashes).toAggregateExpression())
+
+  // element_at(powers, p+1) = 1L << p: a 64-literal lookup keeps the
+  // dynamic-shift bit test inside plain codegen'd built-ins
+  private val powers: Column =
+    array((0 until 64).map(p => lit(1L << p)): _*)
+
+  /** Membership probe against a bloom sketch column: true = possibly in
+    * the set (subject to false positives), false = DEFINITELY not, null
+    * for a null value. Pure built-ins mirroring the SQL replay, so it
+    * composes into any filter and stays in whole-stage codegen. */
+  def mightContain(sketch: Column, value: Column, numBits: Int, numHashes: Int): Column = {
+    require(numBits >= 64 && numBits % 64 == 0 && numBits <= (1 << 30))
+    require(numHashes >= 1 && numHashes <= 16)
+    val h1 = conv(substring(md5(value), 1, 15), 16, 10).cast("long") % numBits
+    val h2 = conv(substring(md5(value), 17, 15), 16, 10).cast("long") % numBits
+    val perHash = (0 until numHashes).map { i =>
+      val bit = (h1 + lit(i.toLong) * h2) % numBits
+      val word = element_at(sketch, (shiftright(bit, 6) + 1).cast("int"))
+      val mask = element_at(powers, (bit.bitwiseAND(lit(63L)) + 1).cast("int"))
+      word.bitwiseAND(mask) =!= lit(0L)
+    }
+    perHash.reduce(_ && _)
+  }
+}

@@ -82,6 +82,36 @@ object geo {
 
   def tile_y(lat: Column, zoom: Column): Column = toCol(TileY(toExpr(lat), toExpr(zoom)))
 
+  /** Z-order (Morton) key: interleave the low `bits` bits of two cell
+    * coordinates — x in the even positions, y in the odd — so that keys
+    * close in value are close in 2-D space. The DATA-LAYOUT primitive for
+    * spatial tables: range-partitioning / sorting a 10^12-row page table
+    * by this key clusters each parquet file into a compact spatial block,
+    * which turns every bbox predicate into file-level min/max pruning at
+    * scan time (the same reason Delta/Iceberg OPTIMIZE ZORDER exists —
+    * built here from shift/and/add so it stays in whole-stage codegen and
+    * replays exactly in any engine). High bits beyond `bits` are ignored;
+    * coordinates are expected non-negative (tile_x/tile_y, cell indices). */
+  def morton_key(x: Column, y: Column, bits: Int): Column =
+    toCol(mortonExpr(toExpr(x), toExpr(y), bits))
+
+  private[graft] def mortonExpr(
+      x: org.apache.spark.sql.catalyst.expressions.Expression,
+      y: org.apache.spark.sql.catalyst.expressions.Expression,
+      bits: Int): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    require(bits >= 1 && bits <= 31, s"morton bits must be in [1,31], got $bits")
+    val xl = Cast(x, LongType)
+    val yl = Cast(y, LongType)
+    def bit(v: Expression, b: Int, outPos: Int): Expression =
+      ShiftLeft(
+        BitwiseAnd(ShiftRight(v, Literal(b, IntegerType)), Literal(1L)),
+        Literal(outPos, IntegerType))
+    (0 until bits).flatMap(b => Seq(bit(xl, b, 2 * b), bit(yl, b, 2 * b + 1)))
+      .reduce[Expression]((a, b) => Add(a, b))
+  }
+
   /** (name, arity, builder) for every SQL-exposed function — the single
     * table behind both [[register]] (temp functions on a live session) and
     * `GraftExtensions.injectFunction` (session-build-time registration via
@@ -150,6 +180,19 @@ object geo {
           s"kmv_distinct k literal must be integral, got $other")
       }
       KmvSketchAgg(a, k)
+    }),
+    // bits shapes the expression tree, so it must fold at analysis time
+    ("morton_key", 3, { case Seq(x, y, bitsArg) =>
+      require(bitsArg.foldable && bitsArg.resolved,
+        "morton_key expects a foldable integer bits literal")
+      val bits = bitsArg.eval() match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+        case null => 16 // NULL analyzes to the tile_x/tile_y-at-z16 default
+        case other => throw new IllegalArgumentException(
+          s"morton_key bits literal must be integral, got $other")
+      }
+      mortonExpr(x, y, bits)
     }))
 
   /** Wrap a builder with an arity check (MatchError → readable error). */
