@@ -32,7 +32,8 @@ object PlanDump {
     "q82_asof_join" -> "as-of join: the lead() window runs over the SNAPSHOT side only (small per key); the event stream meets it in an equi-join on the key with the interval range as residual — one row out per event, no window and no pair blow-up on the big side",
     "q83_cms_heavy_hitters" -> "count-min sketch: ObjectHashAggregate partial pass merges fixed 16 KB buffers per map partition (the shuffle never carries words); the probe side broadcasts the one-row sketch and evaluates element_at minima inline",
     "q84_bloom_prune" -> "bloom pruning: the seen side partial-aggregates into ONE m-bit buffer per map task (OR-merged), the candidate side meets it through a one-row BroadcastNestedLoopJoin and a codegen'd bit-test projection — the membership check itself costs zero shuffle; only the exactness join at the end exchanges rows",
-    "q85_zorder_layout" -> "z-order layout key: pure projection (shift/and/add chain inside one WholeStageCodegen span) — ZERO Exchange; the caller pays only the range partitioning of the sorted write it already wanted")
+    "q85_zorder_layout" -> "z-order layout key: pure projection (shift/and/add chain inside one WholeStageCodegen span) — ZERO Exchange; the caller pays only the range partitioning of the sorted write it already wanted",
+    "q86_kmv_set_algebra" -> "kmv set algebra: the corpus is scanned ONCE to build per-source sketches (partial ObjectHashAggregate); every cross-source pair then combines two ≤k-long arrays in a broadcast self-join — pair cost is independent of corpus size, the property that makes 10^6-source overlap profiling feasible at all")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

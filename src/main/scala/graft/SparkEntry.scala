@@ -974,6 +974,38 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
           morton_key(col("x"), col("y"), 5).as("zkey"))
         .withColumn("zblock", shiftright(col("zkey"), 6))
+    }),
+
+    // KMV sketch ALGEBRA (Beyer et al., SIGMOD 2007): cross-source
+    // vocabulary overlap computed entirely from the per-source sketches —
+    // union = bottom-k of the two hash sets' union, Jaccard = the share
+    // of the union-bottom-k present in BOTH. The corpus is touched once
+    // (one sketch build); every pair combine is arithmetic over two ≤k
+    // arrays — at 10^6 sources that is the difference between a combine
+    // over 16-long arrays and re-scanning 10^12 pages per pair. Outputs
+    // are the raw algebra stats plus jaccard in basis points (integer
+    // div), all exactly replayed relationally by DuckDB
+    "q86_kmv_set_algebra" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def toWords(c: Column) =
+        filter(split(lower(c), "[^a-z0-9]+"), w => w =!= "")
+      val sk = docs
+        .select(col("source"), explode(toWords(col("text"))).as("w"))
+        .groupBy("source")
+        .agg(graft.functions.KmvSketch.kmvDistinct(col("w"), 16).as("sk"))
+        .select(col("source"), col("sk.hashes").as("hs"))
+      val a = sk.select(col("source").as("source_a"), col("hs").as("ha"))
+      val b = sk.select(col("source").as("source_b"), col("hs").as("hb"))
+      a.crossJoin(b).where(col("source_a") < col("source_b"))
+        .withColumn("u", slice(array_sort(array_union(col("ha"), col("hb"))), 1, 16))
+        .withColumn("union_k", size(col("u")).cast("long"))
+        .withColumn("union_kth", element_at(col("u"), size(col("u"))))
+        .withColumn("k_intersect", size(filter(col("u"),
+          h => array_contains(col("ha"), h) && array_contains(col("hb"), h)))
+          .cast("long"))
+        .select(col("source_a"), col("source_b"), col("union_k"),
+          col("union_kth"), col("k_intersect"),
+          expr("k_intersect * 10000 div union_k").as("jaccard_bp"))
     })
   )
 
@@ -1151,6 +1183,39 @@ object SparkEntry {
         | FROM pts)
         |SELECT l_orderkey, l_linenumber, x, y, zkey, zkey >> 6 AS zblock
         |FROM z""".stripMargin,
+
+    // kmv algebra: per-source bottom-16 word-hash sets rebuilt
+    // relationally, then the identical union-bottom-k / both-membership /
+    // integer-basis-point arithmetic
+    "q86_kmv_set_algebra" ->
+      """WITH hv AS (SELECT DISTINCT source,
+        |  ('0x'||substr(md5(w),1,15))::BIGINT AS h FROM (
+        |   SELECT source, unnest(list_filter(
+        |     regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != ''))
+        |     AS w FROM documents)),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hv),
+        |sk AS (SELECT source, h FROM r WHERE rn <= 16),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |pairs AS (SELECT a.source AS sa, b.source AS sb
+        | FROM srcs a, srcs b WHERE a.source < b.source),
+        |u0 AS (SELECT DISTINCT p.sa, p.sb, s.h FROM pairs p
+        | JOIN sk s ON s.source = p.sa OR s.source = p.sb),
+        |u AS (SELECT sa, sb, h,
+        |  row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM u0),
+        |ub AS (SELECT sa, sb, h FROM u WHERE rn <= 16),
+        |agg AS (SELECT u2.sa, u2.sb, count(*) AS union_k, max(u2.h) AS union_kth,
+        |  sum(CASE WHEN xa.h IS NOT NULL AND xb.h IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS k_intersect
+        | FROM ub u2
+        | LEFT JOIN sk xa ON xa.source = u2.sa AND xa.h = u2.h
+        | LEFT JOIN sk xb ON xb.source = u2.sb AND xb.h = u2.h
+        | GROUP BY 1, 2)
+        |SELECT sa AS source_a, sb AS source_b,
+        | CAST(union_k AS BIGINT) AS union_k, union_kth,
+        | CAST(k_intersect AS BIGINT) AS k_intersect,
+        | CAST(k_intersect * 10000 // union_k AS BIGINT) AS jaccard_bp
+        |FROM agg""".stripMargin,
 
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,

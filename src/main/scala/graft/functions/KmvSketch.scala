@@ -59,7 +59,14 @@ case class KmvSketchAgg(
   override def dataType: DataType = StructType(Seq(
     StructField("sketch_size", LongType, nullable = false),
     StructField("kth_hash", LongType, nullable = true),
-    StructField("est_distinct", LongType, nullable = false)))
+    StructField("est_distinct", LongType, nullable = false),
+    // the bottom-k hash values themselves (ascending) — the raw material
+    // of sketch ALGEBRA: union = bottom-k of two sketches' concatenation,
+    // Jaccard = |union-bottom-k present in both| / |union-bottom-k|
+    // (Beyer et al., "On synopses for distinct-value estimation under
+    // multiset operations", SIGMOD 2007). See q86.
+    StructField("hashes", ArrayType(LongType, containsNull = false),
+      nullable = false)))
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
@@ -100,11 +107,13 @@ case class KmvSketchAgg(
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
     val size = buf.size.toLong
-    if (size < k) InternalRow(size, null, size)
+    val hashes = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buf.stream().mapToLong(_.longValue()).toArray)
+    if (size < k) InternalRow(size, null, size, hashes)
     else {
       val kth = buf.last().longValue()
       val est = (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(kth)).toLong
-      InternalRow(size, kth, est)
+      InternalRow(size, kth, est, hashes)
     }
   }
 

@@ -85,4 +85,31 @@ class KmvSketchSpec extends AnyFunSuite {
       .as[Long].collect().head
     assert(r == 3L)
   }
+
+  test("hashes field: ascending bottom-k, size == sketch_size, last == kth") {
+    val vs = (1 to 100).map(i => s"h-$i")
+    val (size, hashes, kth) = vs.toDF("v").repartition(5)
+      .agg(KmvSketch.kmvDistinct(col("v"), 16).as("sk"))
+      .select(col("sk.sketch_size"), col("sk.hashes"), col("sk.kth_hash"))
+      .as[(Long, Seq[Long], Long)].collect().head
+    assert(size == 16L && hashes.length == 16)
+    assert(hashes == hashes.sorted)
+    assert(hashes.last == kth)
+  }
+
+  test("sketch algebra recovers EXACT Jaccard when k covers the union " +
+      "(below-k sketches are the sets themselves)") {
+    // |A|=30, |B|=30, |A∩B|=10, |A∪B|=50; k=64 > 50 → union bottom-k is
+    // the whole union and k_intersect/union_k is exactly 10/50
+    val a = ((1 to 20).map(i => s"onlyA-$i") ++ (1 to 10).map(i => s"both-$i"))
+    val b = ((1 to 20).map(i => s"onlyB-$i") ++ (1 to 10).map(i => s"both-$i"))
+    def hs(vs: Seq[String]) = vs.toDF("v")
+      .agg(KmvSketch.kmvDistinct(col("v"), 64).as("sk"))
+      .select(col("sk.hashes")).as[Seq[Long]].collect().head
+    val (ha, hb) = (hs(a), hs(b))
+    val union = (ha ++ hb).distinct.sorted.take(64)
+    val kIntersect = union.count(h => ha.contains(h) && hb.contains(h))
+    assert(union.length == 50)
+    assert(kIntersect == 10)
+  }
 }
