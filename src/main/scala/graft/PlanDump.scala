@@ -33,7 +33,8 @@ object PlanDump {
     "q83_cms_heavy_hitters" -> "count-min sketch: ObjectHashAggregate partial pass merges fixed 16 KB buffers per map partition (the shuffle never carries words); the probe side broadcasts the one-row sketch and evaluates element_at minima inline",
     "q84_bloom_prune" -> "bloom pruning: the seen side partial-aggregates into ONE m-bit buffer per map task (OR-merged), the candidate side meets it through a one-row BroadcastNestedLoopJoin and a codegen'd bit-test projection — the membership check itself costs zero shuffle; only the exactness join at the end exchanges rows",
     "q85_zorder_layout" -> "z-order layout key: pure projection (shift/and/add chain inside one WholeStageCodegen span) — ZERO Exchange; the caller pays only the range partitioning of the sorted write it already wanted",
-    "q86_kmv_set_algebra" -> "kmv set algebra: the corpus is scanned ONCE to build per-source sketches (partial ObjectHashAggregate); every cross-source pair then combines two ≤k-long arrays in a broadcast self-join — pair cost is independent of corpus size, the property that makes 10^6-source overlap profiling feasible at all")
+    "q86_kmv_set_algebra" -> "kmv set algebra: the corpus is scanned ONCE to build per-source sketches (partial ObjectHashAggregate); every cross-source pair then combines two ≤k-long arrays in a broadcast self-join — pair cost is independent of corpus size, the property that makes 10^6-source overlap profiling feasible at all",
+    "q87_priority_sample" -> "weighted priority sample: Spark pushes WindowGroupLimit partial limits below BOTH exchanges (same certified shape as q63), so the shuffle carries ≤ k rows per (stratum, salt) — a 10^11-row stratum costs its salt count, never one task")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -1006,7 +1006,19 @@ object SparkEntry {
         .select(col("source_a"), col("source_b"), col("union_k"),
           col("union_kth"), col("k_intersect"),
           expr("k_intersect * 10000 div union_k").as("jaccard_bp"))
-    })
+    }),
+
+    // weighted priority sampling (Duffield et al. JACM 2007): 5 docs per
+    // source, inclusion probability scaling with n_chars — the quality-
+    // weighted mixture draw q63's unweighted order can't express. The
+    // priority is u/w over a fixed md5 uniform: IEEE double conversion +
+    // one exactly-rounded division, so the ORDER replays bit-identically
+    // in DuckDB and the salted two-level plan is graded against the naive
+    // window form
+    "q87_priority_sample" -> ((s, d) =>
+      graft.operators.TrainingSplits.prioritySample(
+        t(s, d, "documents"), Seq("source"), col("doc_id"), col("n_chars"), 5)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("rn")))
   )
 
   /** q78's oracle: the fixed-point power iteration unrolled as chained
@@ -1216,6 +1228,19 @@ object SparkEntry {
         | CAST(k_intersect AS BIGINT) AS k_intersect,
         | CAST(k_intersect * 10000 // union_k AS BIGINT) AS jaccard_bp
         |FROM agg""".stripMargin,
+
+    // priority sampling: the naive per-stratum window over the identical
+    // u/w priority (the salted Spark plan must reproduce it exactly)
+    "q87_priority_sample" ->
+      """WITH p AS (SELECT source, doc_id, n_chars,
+        |  (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT + 1)
+        |    / CAST(greatest(n_chars, 1) AS DOUBLE) AS pr
+        | FROM documents),
+        |r AS (SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY pr, CAST(doc_id AS VARCHAR)) AS rn FROM p)
+        |SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5""".stripMargin,
 
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,

@@ -120,6 +120,52 @@ object TrainingSplits {
   }
 
   /**
+   * Deterministic WEIGHTED sample: priority sampling (Duffield, Lund,
+   * Thorup, "Priority sampling for estimation of arbitrary subset sums",
+   * JACM 2007). Each row gets priority = u / w, where u is a fixed
+   * md5-derived uniform (no RNG — the same rerun/resume stability as every
+   * split here) and w the row's weight; the k SMALLEST priorities per
+   * stratum are a without-replacement sample whose inclusion probability
+   * scales with weight — the quality-weighted mixture draw a training
+   * pipeline wants ("sample 1M pages per language, preferring high-quality
+   * ones") that [[stratifiedSample]]'s unweighted order can't express.
+   *
+   * Same salted two-level top-k shape as stratifiedSample — no giant
+   * stratum ever occupies one task; the salted plan is provably identical
+   * to the naive per-stratum window (survivor-set argument, see above).
+   * Determinism across engines: u and w pass through IEEE double
+   * conversion and one division, both exactly-rounded operations, so the
+   * ORDER (all that matters) replays bit-identically in the q87 oracle.
+   * Weights < 1 are clamped to 1.
+   *
+   * Adds `rn` (1-based weighted-sample rank within the stratum).
+   */
+  def prioritySample(
+      df: DataFrame,
+      strata: Seq[String],
+      key: Column,
+      weight: Column,
+      k: Int,
+      salts: Int = 64): DataFrame = {
+    val salted = df
+      .withColumn("__key", key.cast("string"))
+      .withColumn("__ord",
+        (conv(substr(md5(col("__key")), lit(1), lit(15)), 16, 10)
+          .cast("long") + 1L) / greatest(weight, lit(1L)))
+      .withColumn("__salt", pmod(xxhash64(col("__key")), lit(salts.toLong)))
+    val local = Window
+      .partitionBy((strata.map(col) :+ col("__salt")): _*)
+      .orderBy(col("__ord"), col("__key"))
+    val global = Window
+      .partitionBy(strata.map(col): _*)
+      .orderBy(col("__ord"), col("__key"))
+    salted
+      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= k)
+      .withColumn("rn", row_number().over(global)).filter(col("rn") <= k)
+      .drop("__ord", "__key", "__salt", "__lr")
+  }
+
+  /**
    * Next-fit sequence packing: assign documents to fixed-token-budget bins
    * (training batches) within deterministic shards. Documents are sharded
    * by md5(key) % nShards, ordered inside a shard by md5(key) — a stable

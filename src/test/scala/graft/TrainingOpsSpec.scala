@@ -865,6 +865,42 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(perLang.forall(_ == 25L), perLang.toSeq.toString)
   }
 
+  test("prioritySample: salted plan equals the naive priority window; " +
+    "heavier rows dominate the sample; parallelism-invariant") {
+    import graft.operators.TrainingSplits
+    import org.apache.spark.sql.expressions.Window
+    // salted == naive over the real documents table, weighted by n_chars
+    val pr = (conv(substr(md5(col("doc_id").cast("string")), lit(1), lit(15)),
+      16, 10).cast("long") + 1L) / greatest(col("n_chars"), lit(1L))
+    val naive = docs
+      .withColumn("__o", pr)
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(col("__o"), col("doc_id").cast("string"))))
+      .filter(col("rn") <= 5).select("source", "doc_id", "rn")
+    for (salts <- Seq(1, 3, 64)) {
+      val got = TrainingSplits.prioritySample(
+        docs, Seq("source"), col("doc_id"), col("n_chars"), 5, salts)
+        .select("source", "doc_id", "rn")
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"salts=$salts diverged from the naive priority window")
+    }
+    // weighting: 10 heavy rows (w=1e6) among 90 light (w=1) — the top-5
+    // must be (deterministically, and with overwhelming probability over
+    // the fixed md5 draw) dominated by heavy rows
+    val skewed = spark.range(100).select(
+      col("id"), lit("s").as("g"),
+      when(col("id") < 10, 1000000L).otherwise(1L).as("w"))
+    val picked = TrainingSplits.prioritySample(
+      skewed, Seq("g"), col("id"), col("w"), 5)
+      .select("id").as[Long].collect()
+    assert(picked.count(_ < 10) >= 4, picked.toSeq.toString)
+    // and the same call at a different parallelism picks the same rows
+    val picked2 = TrainingSplits.prioritySample(
+      skewed.repartition(13), Seq("g"), col("id"), col("w"), 5)
+      .select("id").as[Long].collect()
+    assert(picked.sorted.sameElements(picked2.sorted))
+  }
+
   test("packSequences: capacity respected, every doc placed once, bins " +
     "contiguous, oversized docs isolated, parallelism-independent") {
     import graft.operators.TrainingSplits
