@@ -62,10 +62,16 @@ object AsOf {
     val p = "__asof_"
     require(!left.columns.exists(_.startsWith(p)),
       s"left side may not carry columns prefixed $p")
-    val byKey = Window.partitionBy(keyCols.map(k => col(p + k)): _*)
-      .orderBy(col(p + rightTs))
     val renamedRight = right.columns.foldLeft(right)(
       (df, c) => df.withColumnRenamed(c, p + c))
+    // duplicate (key, ts) versions: lead() over a bare ts order would let
+    // shuffle layout decide which duplicate gets the live interval (the
+    // others get empty [ts, ts) ranges). A value-derived tiebreak makes
+    // the winner a pure function of the DATA — identical rows still tie,
+    // but then the attached payload is identical too
+    val tiebreak = xxhash64(struct(renamedRight.columns.map(col): _*))
+    val byKey = Window.partitionBy(keyCols.map(k => col(p + k)): _*)
+      .orderBy(col(p + rightTs), tiebreak)
     val intervals = renamedRight
       .withColumn(s"${p}valid_to", lead(col(p + rightTs), 1).over(byKey))
     val joinKeys = keyCols.map(k => col(k) === col(p + k))

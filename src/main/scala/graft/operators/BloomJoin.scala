@@ -49,8 +49,13 @@ object BloomJoin {
       seenKey: String,
       numBits: Int,
       numHashes: Int): DataFrame = {
-    val sketch = seen.agg(
-      Bloom.bloomBuild(col(seenKey), numBits, numHashes).as("__bloom"))
+    // the natural call keys both sides on the same name (url vs url) —
+    // rename the seen side so the exact-check join resolves unambiguously
+    require(!big.columns.contains("__bloom_seen_key"),
+      "big side may not carry a __bloom_seen_key column")
+    val seenKeys = seen.select(col(seenKey).as("__bloom_seen_key"))
+    val sketch = seenKeys.agg(
+      Bloom.bloomBuild(col("__bloom_seen_key"), numBits, numHashes).as("__bloom"))
     val probed = big.crossJoin(broadcast(sketch))
     val hit = Bloom.mightContain(col("__bloom"), col(bigKey), numBits, numHashes)
     // null key → null probe → guaranteed-new branch (coalesce), matching
@@ -59,7 +64,7 @@ object BloomJoin {
       .where(!coalesce(hit, lit(false))).drop("__bloom")
     val possiblySeen = probed
       .where(coalesce(hit, lit(false))).drop("__bloom")
-      .join(seen.select(col(seenKey)), col(bigKey) === col(seenKey), "left_anti")
+      .join(seenKeys, col(bigKey) === col("__bloom_seen_key"), "left_anti")
     guaranteedNew.unionByName(possiblySeen)
   }
 }

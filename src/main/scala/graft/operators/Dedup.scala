@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
  * ADVICE r1). r=3 variants give ~1e-6 misses but collide on mid-similarity
  * pairs, which template-heavy corpora have in bulk — measured 5× slower on
  * the synthetic docs — so rows-per-band stays at 4.
+ *
+ * Cache lifecycle contract: the LSH/SimHash/Jaccard builders `persist()`
+ * their signature/shingle intermediates because the returned plan
+ * references them MORE THAN ONCE (band self-join, verify re-join) — an
+ * eager unpersist would silently recompute the expensive kernel per
+ * reference. The blocks therefore live until the session drops them:
+ * long-lived sessions issuing many unrelated dedup jobs should
+ * `spark.catalog.clearCache()` between them (Bench does exactly this
+ * before its throughput block). A batch pipeline pays nothing: the
+ * cache dies with the job's session.
  */
 object Dedup {
 

@@ -60,7 +60,10 @@ object ExactSubstr {
       n: Int = 8): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2, got $n")
     val ws = words(col(textCol))
-    val base = docs.select(col(idCol).cast("long").as("doc_id"), ws.as("ws"))
+    // keep the id's ORIGINAL type: a long cast silently nulls string ids
+    // (urls — the corpus's standard key), merging the whole corpus into
+    // one null window partition (same lesson as Dedup's ADVICE-r2 fix)
+    val base = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
     val grams = base
       .select(col("doc_id"),
         posexplode(

@@ -189,7 +189,12 @@ object TextQuality {
    */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    // lowercase scheme://host[:port] only, never the path
+    // lowercase scheme://host[:port] only, never the path. The rewrite
+    // applies ONLY to authority-form URLs — on anything else (schemeless
+    // hrefs, protocol-relative //host paths) the two extracts both return
+    // "" and would silently canonicalize the whole corpus to one
+    // empty-string key, so those pass through with just fragment+slash
+    // stripping (pinned in TextQualitySpec)
     val lowered = concat(
       lower(regexp_extract(noFrag, "^([^/]+//[^/]*)", 1)),
       regexp_extract(noFrag, "^[^/]+//[^/]*(.*)$", 1))
@@ -198,7 +203,8 @@ object TextQuality {
     val noPort = regexp_replace(lowered, "^(https://[^/:]+):443($|/)", "$1$2")
     val noPort2 = regexp_replace(noPort, "^(http://[^/:]+):80($|/)", "$1$2")
     val noWww = regexp_replace(noPort2, "^(https?://)www\\.", "$1")
-    regexp_replace(noWww, "/$", "")
+    when(noFrag.rlike("^[^/]+//"), regexp_replace(noWww, "/$", ""))
+      .otherwise(regexp_replace(noFrag, "/$", ""))
   }
 
   /**
@@ -208,7 +214,11 @@ object TextQuality {
    * deterministic heuristic core of the public-suffix rule.
    */
   def registrableDomain(url: Column): Column = {
-    val host = regexp_extract(lower(url), "^[^/]+//(?:www\\.)?([^/:#]+)", 1)
+    // authority form first; schemeless inputs fall back to treating the
+    // leading segment as the host instead of collapsing to ""
+    val host = when(url.rlike("^[^/]+//"),
+      regexp_extract(lower(url), "^[^/]+//(?:www\\.)?([^/:#]+)", 1))
+      .otherwise(regexp_extract(lower(url), "^(?:www\\.)?([^/:#]+)", 1))
     val l = split(host, "\\.")
     val n = size(l)
     val two = concat_ws(".", element_at(l, -2), element_at(l, -1))

@@ -250,7 +250,9 @@ object TrainingSplits {
       .otherwise(lit(1) +
         floor((greatest(size(col("ws")) - window, lit(0)) +
           (stride - 1)) / stride).cast("int"))
-    df.select(col(idCol).cast("long").as("doc_id"), ws.as("ws"))
+    // keep the id's ORIGINAL type — a long cast silently nulls string ids
+    // (urls), destroying chunk identity for every row
+    df.select(col(idCol).as("doc_id"), ws.as("ws"))
       .select(col("doc_id"), col("ws"),
         posexplode(
           when(nChunks > 0, sequence(lit(0), nChunks - 1))

@@ -86,9 +86,13 @@ object Sqlite {
       case VBlob(b) => (varint(12L + 2L * b.length), b)
     }
     val stLen = parts.map(_._1.length).sum
-    // the header length varint counts itself
+    // the header length varint counts itself — iterate to the fixpoint:
+    // guessing the varint width from (stLen + 9) over-declares by one
+    // byte when stLen sits just below a varint size boundary (e.g.
+    // 16375..16380), which would shift every decoded value
     var hl = stLen + 1
-    if (varint(hl.toLong).length > 1) hl = stLen + varint((stLen + 9).toLong).length
+    while (hl != stLen + varint(hl.toLong).length)
+      hl = stLen + varint(hl.toLong).length
     val out = new java.io.ByteArrayOutputStream()
     out.write(varint(hl.toLong))
     parts.foreach(p => out.write(p._1))

@@ -141,10 +141,12 @@ object Mvt {
         col("networklevel"), col("roadClass"),
         (col("endDist") - col("startDist")).as("len_km"),
         size(col("tmMeta")).as("n_tm"), col("coordinates"))
-      // a degenerate empty-coordinates row would null the tile key and kill
-      // the whole render (kernel output always has ≥2 points; this guards
-      // hand-fed inputs) — dropping a geometry-less segment loses nothing
-      .filter(size(col("coordinates")) >= 1)
+      // a degenerate row would null the tile key and kill the whole
+      // render (kernel output always has ≥2 points; this guards hand-fed
+      // inputs) — and a 1-point "line" would encode as a MoveTo with no
+      // LineTo, which MVT 2.1 forbids for LINESTRING, so the guard
+      // enforces the real invariant: ≥ 2 coordinates
+      .filter(size(col("coordinates")) >= 2)
       .withColumn("first", element_at(col("coordinates"), 1))
       .withColumn("tile_x", graft.functions.geo.tile_x(
         element_at(col("first"), 1), lit(zoom)))

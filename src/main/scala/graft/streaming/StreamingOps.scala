@@ -124,10 +124,13 @@ object StreamingOps {
     import spark.implicits._
     def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
     val ingested = snapIngestedFiles(spark, tableRoot)
-    // file NAMES only — per-batch metadata, bounded by the source's
-    // maxFilesPerTrigger, never record data
+    // file PATHS only — per-batch metadata, bounded by the source's
+    // maxFilesPerTrigger, never record data. The ledger keys on the FULL
+    // path: a recursive landing dir can legally hold day1/part-0.warc.gz
+    // and day2/part-0.warc.gz, and a basename ledger would silently skip
+    // the second (basenames remain only as the warc_file display/CDX key)
     val files = batch.select("path").as[String].distinct().collect()
-    val fresh = files.filterNot(p => ingested.contains(base(p)))
+    val fresh = files.filterNot(ingested.contains)
     if (fresh.isEmpty) return 0
     val rows = batch
       .where(col("path").isin(fresh.toSeq: _*))
@@ -141,7 +144,7 @@ object StreamingOps {
       .where(col("warc_type") === "response")
       .select("url", "warc_ts", "html", "warc_file")
     graft.sources.SnapTable.append(rows, tableRoot, statsCols = Seq("url"),
-      summary = (ingested ++ fresh.map(base)).toSeq.sorted.mkString("\n"))
+      summary = (ingested ++ fresh).toSeq.sorted.mkString("\n"))
     fresh.length
   }
 

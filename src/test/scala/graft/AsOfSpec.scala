@@ -68,6 +68,20 @@ class AsOfSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("duplicate (key, ts) versions: the surviving payload is a pure " +
+      "function of the data, not of partitioning") {
+    // two versions of key 9 at the SAME timestamp with different payloads
+    val dupSnaps = Seq((9L, 100L, "pA"), (9L, 100L, "pB"), (9L, 300L, "pC"))
+      .toDF("k", "sts", "payload")
+    val events = Seq((1L, 9L, 200L)).toDF("id", "k", "ts")
+    def run(parts: Int) = AsOf.asofJoin(
+      events, dupSnaps.repartition(parts), Seq("k"), "ts", "sts")
+      .select("payload").as[String].collect().toSeq
+    val results = Seq(1, 3, 7, 8).map(run)
+    assert(results.head.length == 1) // still exactly one row per event
+    assert(results.distinct.size == 1, results.toString) // same winner always
+  }
+
   test("the only Window in the plan is over the snapshot side, never the " +
       "event stream") {
     val events = (0L until 50L).map(i => (i, 1L, i)).toDF("id", "k", "ts")

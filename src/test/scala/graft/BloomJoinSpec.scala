@@ -37,6 +37,17 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(pruned.length == 201)
   }
 
+  test("same-named key columns on both sides resolve (the natural url-vs-" +
+      "url call) — no ambiguous-reference failure") {
+    val bigSame = candidates.withColumnRenamed("k", "url")
+    val seenSame = seen.withColumnRenamed("sk", "url")
+    val pruned = BloomJoin.antiJoin(bigSame, "url", seenSame, "url", 1024, 2)
+      .select("id").as[Long].collect().sorted
+    val plain = candidates.join(seen, col("k") === col("sk"), "left_anti")
+      .select("id").as[Long].collect().sorted
+    assert(pruned.sameElements(plain))
+  }
+
   test("no false negatives: every seen key is bloom-positive, at any " +
       "sketch size") {
     for (m <- Seq(64, 256, 4096)) {

@@ -82,4 +82,16 @@ class ExactSubstrSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert(a == b && a.nonEmpty)
   }
+
+  test("string document ids (urls) keep their identity — no silent " +
+      "long-cast to null") {
+    import spark.implicits._
+    val docs = Seq(
+      "https://a.test/1" -> s"$fillerA $passage",
+      "https://b.test/2" -> s"$passage $fillerB")
+      .toDF("url", "text")
+    val got = graft.operators.ExactSubstr.repeatedSpans(docs, "url", "text")
+      .select("doc_id").as[String].collect().toSet
+    assert(got == Set("https://a.test/1", "https://b.test/2"), got.toString)
+  }
 }

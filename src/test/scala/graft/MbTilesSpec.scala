@@ -154,4 +154,29 @@ class MbTilesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](new Sqlite.Writer(3000))
     new Sqlite.Writer(32768) // largest directly-encodable size is fine
   }
+
+  test("record header length is self-consistent across the varint size " +
+      "boundary (the +9 guess over-declared by one byte near 16383)") {
+    // big-endian base-128; the 9-byte special case can't occur at these sizes
+    def readVarint(b: Array[Byte], off: Int): (Long, Int) = {
+      var v = 0L; var i = off
+      while ((b(i) & 0x80) != 0) { v = (v << 7) | (b(i) & 0x7f); i += 1 }
+      v = (v << 7) | (b(i) & 0x7f)
+      (v, i - off + 1)
+    }
+    // n VText columns of 50 bytes each → stLen == n (one 1-byte serial
+    // varint per column); sweep the 2→3-byte hl varint boundary
+    val text = "x" * 50
+    for (n <- 16370 to 16390) {
+      val rec = Sqlite.record(Seq.fill(n)(Sqlite.VText(text)))
+      val (hl, hlLen) = readVarint(rec, 0)
+      // walk exactly the declared header: hlLen + n serial varints
+      var off = hlLen
+      var cols = 0
+      while (off < hl) { val (_, l) = readVarint(rec, off); off += l; cols += 1 }
+      assert(off == hl, s"n=$n: header walk landed at $off, declared $hl")
+      assert(cols == n, s"n=$n: $cols serial types for $n columns")
+      assert(rec.length == hl + n * 50L, s"n=$n: body size mismatch")
+    }
+  }
 }

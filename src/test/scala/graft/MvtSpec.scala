@@ -89,4 +89,13 @@ class MvtSpec extends AnyFunSuite {
     val names = Mvt.decode(gz.readAllBytes()).map(_.name).toSet
     assert(names == Set("segments", "density"))
   }
+
+  test("a single-point geometry is dropped, never encoded as a bare " +
+      "MoveTo (invalid MVT LINESTRING)") {
+    import spark.implicits._
+    val onePoint = segments.limit(1)
+      .withColumn("coordinates", slice(col("coordinates"), 1, 1))
+      .as[graft.model.ConflationSegment]
+    assert(Mvt.renderTiles(onePoint, zoom = 12).count() == 0L)
+  }
 }

@@ -110,4 +110,22 @@ class TextQualitySpec extends AnyFunSuite {
       TextQuality.registrableDomain($"url")).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"url kernel must not shuffle:\n$plan")
   }
+
+  test("schemeless / protocol-relative URLs pass through instead of " +
+      "collapsing to the empty string") {
+    val got = Seq(
+      "example.com/Path?q=1",        // schemeless href
+      "//cdn.example.com/x/",        // protocol-relative
+      "www.example.com/a#frag")      // schemeless with www + fragment
+      .toDF("u").select(TextQuality.canonicalUrl($"u")).as[String].collect()
+    assert(got.forall(_.nonEmpty), got.toSeq.toString)
+    // fragment and trailing slash still stripped on the fallback path
+    assert(got(1) == "//cdn.example.com/x", got(1))
+    assert(got(2) == "www.example.com/a", got(2))
+    // every distinct input stays distinct — nothing merges into one key
+    assert(got.distinct.length == 3)
+    val doms = Seq("example.com/Path", "www.news.co.uk/x")
+      .toDF("u").select(TextQuality.registrableDomain($"u")).as[String].collect()
+    assert(doms.toSeq == Seq("example.com", "news.co.uk"), doms.toSeq.toString)
+  }
 }

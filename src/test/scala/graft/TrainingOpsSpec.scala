@@ -1070,4 +1070,16 @@ class TrainingOpsSpec extends AnyFunSuite {
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("chunkWindows: string doc ids (urls) keep their identity — no " +
+      "silent long-cast to null") {
+    import graft.operators.TrainingSplits
+    val rows = Seq(
+      ("https://a.test/1", "one two three four"),
+      ("https://b.test/2", "five six")).toDF("url", "text")
+    val ids = TrainingSplits.chunkWindows(rows, "url", "text",
+      window = 3, stride = 2)
+      .select("doc_id").as[String].collect().toSet
+    assert(ids == Set("https://a.test/1", "https://b.test/2"), ids.toString)
+  }
 }

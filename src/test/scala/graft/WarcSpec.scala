@@ -183,6 +183,35 @@ class WarcSpec extends AnyFunSuite {
     assert(SnapTable.scan(spark, root).count() == 8)
   }
 
+  test("ingest ledger keys on the full path: same-named files in " +
+      "different directories both commit (day1/part-0 vs day2/part-0)") {
+    import graft.streaming.StreamingOps
+    import graft.sources.SnapTable
+    val day1 = Files.createTempDirectory("warcday1").toString
+    val day2 = Files.createTempDirectory("warcday2").toString
+    val root = Files.createTempDirectory("warcsnap3").toString + "/t"
+    def land(dir: String, lo: Int, hi: Int): Unit = {
+      Warc.writePages(pages(hi)
+        .where($"url".rlike(s"/road(${(lo until hi).mkString("|")})/"))
+        .coalesce(1), dir)
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).head
+      Files.move(f.toPath, java.nio.file.Paths.get(dir, "part-0.warc.gz"))
+    }
+    land(day1, 0, 4); land(day2, 4, 9)
+    def batchOf(dir: String) = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz").load(dir)
+      .select($"path", $"modificationTime", $"length", $"content")
+    assert(StreamingOps.warcIngestBatch(batchOf(day1), root) == 1)
+    // second landing: SAME basename, different directory — must commit,
+    // not be mistaken for the already-ingested file
+    assert(StreamingOps.warcIngestBatch(batchOf(day2), root) == 1)
+    assert(SnapTable.scan(spark, root).count() == 9)
+    // and a true replay of either batch is still a no-op
+    assert(StreamingOps.warcIngestBatch(batchOf(day1), root) == 0)
+    assert(StreamingOps.warcIngestBatch(batchOf(day2), root) == 0)
+  }
+
   test("mid-file corruption keeps the complete records before it") {
     // render two valid members, then append garbage INSIDE a valid gzip member
     val dir = Files.createTempDirectory("warcmid").toString
