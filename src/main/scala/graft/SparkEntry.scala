@@ -1018,7 +1018,29 @@ object SparkEntry {
     "q87_priority_sample" -> ((s, d) =>
       graft.operators.TrainingSplits.prioritySample(
         t(s, d, "documents"), Seq("source"), col("doc_id"), col("n_chars"), 5)
-        .select(col("source"), col("doc_id"), col("n_chars"), col("rn")))
+        .select(col("source"), col("doc_id"), col("n_chars"), col("rn"))),
+
+    // z-order clustered compaction on the snapshot-table layer: pages with
+    // cell coords land as two row-order appends (worst layout), are
+    // rewritten by compactZorder (range-partition + sort on the morton
+    // key, min/max stats on BOTH coords), and the graded rows travel
+    // through the MANIFEST-PRUNED bbox scan — a pruning bug that loses a
+    // file flips the oracle. The layout EFFECT (files actually skipped on
+    // both dimensions) is asserted in SnapTableSpec
+    "q88_zorder_compact" -> ((s, d) => {
+      val root = s"${SmokeWorld.auxDir}/tmp_zorder_snaptab"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val pts = t(s, d, "documents").select(col("doc_id"),
+        (col("doc_id") % 32).as("x"), ((col("doc_id") * 7) % 32).as("y"))
+      graft.sources.SnapTable.append(
+        pts.where(col("doc_id") % 2 === 0).repartition(4), root)
+      graft.sources.SnapTable.append(
+        pts.where(col("doc_id") % 2 === 1).repartition(4), root)
+      graft.sources.SnapTable.compactZorder(s, root, "x", "y",
+        bits = 5, targetFiles = 16)
+      graft.sources.SnapTable.scanRange(s, root, "x", "8", "11")
+        .select("doc_id", "x", "y")
+    })
   )
 
   /** q78's oracle: the fixed-point power iteration unrolled as chained
@@ -1241,6 +1263,12 @@ object SparkEntry {
         |    ORDER BY pr, CAST(doc_id AS VARCHAR)) AS rn FROM p)
         |SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 5""".stripMargin,
+
+    // zorder compact: the snapshot/compaction/pruning plumbing is Spark's;
+    // the surviving ROWS must equal the plain filter over the raw table
+    "q88_zorder_compact" ->
+      """SELECT doc_id, doc_id % 32 AS x, (doc_id * 7) % 32 AS y
+        |FROM documents WHERE doc_id % 32 BETWEEN 8 AND 11""".stripMargin,
 
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,

@@ -303,6 +303,33 @@ object SnapTable {
   }
 
   /**
+   * Z-order clustered compaction: like [[compact]], but the rewrite is
+   * range-partitioned and sorted by the Morton interleave of two integer
+   * cell-coordinate columns ([[graft.functions.geo.morton_key]]), and the
+   * manifest records min/max stats for BOTH columns. A single-column sort
+   * buys manifest pruning on that column only; the z-order curve bounds
+   * every file's extent in both dimensions at once, so [[scanRange]] on
+   * EITHER column — or both, intersected via [[plannedFiles]] — plans a
+   * small file subset. This is the layout maintenance a 10^12-page
+   * geocoded table needs for bbox queries (the same reason Iceberg/Delta
+   * ship OPTIMIZE ZORDER; built here from the q85 interleave, so the
+   * key is engine-replayable). The cluster key is computed only inside
+   * the exchange/sort — the table schema is unchanged. Same crash/race
+   * semantics as [[compact]] (expectedParent CAS, immutable data files).
+   */
+  def compactZorder(spark: SparkSession, root: String, xCol: String,
+      yCol: String, bits: Int, targetFiles: Int = 8): Int = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots at $root"))
+    val df = scan(spark, root, asOf = Some(cur))
+    val z = graft.functions.geo.morton_key(col(xCol), col(yCol), bits)
+    val arranged = df.repartitionByRange(targetFiles, z).sortWithinPartitions(z)
+    commit(arranged, root, "overwrite", statsCols = Seq(xCol, yCol),
+      summary = s"zorder compact of v$cur on ($xCol, $yCol)",
+      expectedParent = Some(cur))
+  }
+
+  /**
    * Expire snapshots `< keepFrom`: delete their manifests, then delete every
    * data file referenced ONLY by expired manifests (mark-and-sweep against
    * the retained manifests' file lists). Returns (manifests deleted, data

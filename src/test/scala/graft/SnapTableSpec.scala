@@ -160,6 +160,40 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.scan(spark, root).count() == 60)
   }
 
+  test("compactZorder: bbox pruning works on BOTH coordinate columns, " +
+      "rows survive exactly, time travel intact") {
+    val root = freshRoot()
+    // 4096 points on a 64x64 grid, appended in ROW order (worst layout:
+    // every file spans the full x and y range), in two waves
+    val pts = spark.range(4096).select(col("id"),
+      pmod(hash(col("id"), lit("zx")).cast("long"), lit(64L)).as("x"),
+      pmod(hash(col("id"), lit("zy")).cast("long"), lit(64L)).as("y"))
+    SnapTable.append(pts.where(col("id") < 2048).repartition(8), root)
+    SnapTable.append(pts.where(col("id") >= 2048).repartition(8), root)
+    val before = SnapTable.manifest(spark, root,
+      SnapTable.currentVersion(spark, root).get).files.size
+    // row-order layout: a narrow x slice prunes nothing
+    assert(SnapTable.plannedFiles(spark, root, "x", "8", "11").size == before)
+    val v = SnapTable.compactZorder(spark, root, "x", "y", bits = 6,
+      targetFiles = 16)
+    val m = SnapTable.manifest(spark, root, v)
+    assert(m.files.size >= 12 && m.files.size <= 16, m.files.size.toString)
+    // z-order bounds every file in both dimensions: a 4/64 slice on EITHER
+    // column now plans a strict subset of the files
+    val px = SnapTable.plannedFiles(spark, root, "x", "8", "11").size
+    val py = SnapTable.plannedFiles(spark, root, "y", "8", "11").size
+    assert(px <= m.files.size / 2, s"x-slice planned $px of ${m.files.size}")
+    assert(py <= m.files.size / 2, s"y-slice planned $py of ${m.files.size}")
+    // and the pruned scan loses nothing vs the full filter
+    val got = SnapTable.scanRange(spark, root, "x", "8", "11")
+      .select("id").as[Long].collect().sorted
+    val want = pts.where(col("x") >= 8 && col("x") <= 11)
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(want))
+    // prior snapshots still read their own files
+    assert(SnapTable.scan(spark, root, asOf = Some(1)).count() == 2048)
+  }
+
   test("schema rides in the manifest: scan needs no footer inference") {
     val root = freshRoot()
     SnapTable.append(docs(0, 5).withColumn("score", col("id") * 1.5), root)
