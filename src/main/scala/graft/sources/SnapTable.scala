@@ -302,6 +302,35 @@ object SnapTable {
       summary = s"compact of v$cur", expectedParent = Some(cur))
   }
 
+  /** Manifest-pruned BBOX scan: plans only the files whose stats ranges
+    * intersect BOTH `[xLo,xHi]` on `xCol` AND `[yLo,yHi]` on `yCol` — the
+    * file-level form of the tile/bbox predicate every spatial query here
+    * starts with. After [[compactZorder]] the two per-file ranges are
+    * simultaneously tight, so the intersection plans ~the files whose
+    * z-curve block meets the box. Row-level filters still apply, so the
+    * result is exactly `scan().filter(box)` regardless of layout. */
+  def scanBox(spark: SparkSession, root: String,
+      xCol: String, xLo: String, xHi: String,
+      yCol: String, yLo: String, yHi: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots at $root"))
+    val m = manifest(spark, root, v)
+    val schema = DataType.fromDDL(m.schemaDdl).asInstanceOf[StructType]
+    def num(c: String) =
+      schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val kept = m.files
+      .filterNot(disjoint(_, xCol, xLo, xHi, num(xCol)))
+      .filterNot(disjoint(_, yCol, yLo, yHi, num(yCol)))
+    val base =
+      if (kept.isEmpty) emptyOf(spark, m.schemaDdl)
+      else spark.read.schema(schema).parquet(kept.map(_.path): _*)
+    def between(c: String, lo: String, hi: String) =
+      col(c) >= lit(lo).cast(schema(c).dataType) &&
+        col(c) <= lit(hi).cast(schema(c).dataType)
+    base.filter(between(xCol, xLo, xHi) && between(yCol, yLo, yHi))
+  }
+
   /**
    * Z-order clustered compaction: like [[compact]], but the rewrite is
    * range-partitioned and sorted by the Morton interleave of two integer

@@ -192,6 +192,13 @@ class SnapTableSpec extends AnyFunSuite {
     assert(got.sameElements(want))
     // prior snapshots still read their own files
     assert(SnapTable.scan(spark, root, asOf = Some(1)).count() == 2048)
+    // scanBox: the two-dimensional prune composes, and the result is
+    // exactly the row-level box filter
+    val box = SnapTable.scanBox(spark, root, "x", "8", "11", "y", "16", "23")
+      .select("id").as[Long].collect().sorted
+    val boxWant = pts.where(col("x").between(8, 11) && col("y").between(16, 23))
+      .select("id").as[Long].collect().sorted
+    assert(box.sameElements(boxWant) && box.nonEmpty)
   }
 
   test("schema rides in the manifest: scan needs no footer inference") {
