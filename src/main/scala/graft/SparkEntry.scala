@@ -1040,7 +1040,20 @@ object SparkEntry {
         bits = 5, targetFiles = 16)
       graft.sources.SnapTable.scanRange(s, root, "x", "8", "11")
         .select("doc_id", "x", "y")
-    })
+    }),
+
+    // sessionization (gaps-and-islands, 8h inactivity gap over ~150
+    // users): per-key lag + running boundary sum, the inherently
+    // sequential-per-key op whose window partitions are bounded by one
+    // key's event count; boundary rule is end-exclusive (>= gap) to
+    // match Spark's native session_window, whose streaming twin
+    // SessionsSpec pins against this batch form
+    "q89_sessionize" -> ((s, d) =>
+      graft.operators.Sessions.summarize(
+        t(s, d, "events"), "user_id", "ts", "event_id", gapSec = 28800L)
+        .select(col("user_id"), col("session_index"),
+          col("session_start"), col("session_end"), col("n_events"),
+          col("duration_us")))
   )
 
   /** q78's oracle: the fixed-point power iteration unrolled as chained
@@ -1269,6 +1282,23 @@ object SparkEntry {
     "q88_zorder_compact" ->
       """SELECT doc_id, doc_id % 32 AS x, (doc_id * 7) % 32 AS y
         |FROM documents WHERE doc_id % 32 BETWEEN 8 AND 11""".stripMargin,
+
+    // sessionize: the identical lag/boundary/running-sum replay (>= gap,
+    // end-exclusive), summarized per (user, session)
+    "q89_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, ts, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 28800000000 THEN 1 ELSE 0 END AS b
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |x AS (SELECT user_id, ts, us,
+        |  CAST(sum(b) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index FROM s)
+        |SELECT user_id, session_index,
+        | min(ts) AS session_start, max(ts) AS session_end,
+        | count(*) AS n_events, max(us) - min(us) AS duration_us
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,
