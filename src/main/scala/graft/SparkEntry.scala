@@ -1053,7 +1053,24 @@ object SparkEntry {
         t(s, d, "events"), "user_id", "ts", "event_id", gapSec = 28800L)
         .select(col("user_id"), col("session_index"),
           col("session_start"), col("session_end"), col("n_events"),
-          col("duration_us")))
+          col("duration_us"))),
+
+    // log-histogram quantile sketch (mergeable-sketch archetype #4 —
+    // fixed 65-counter buffer, elementwise merge): p50/p90/p99 document
+    // length per source in 520 bytes of state per group. Buckets are bit
+    // lengths and the estimate is the first bucket's upper bound at rank
+    // ceil(q·n) — pure integer arithmetic, so DuckDB replays every
+    // estimate from `length(printf('%b', v))` exactly
+    "q90_hist_quantiles" -> ((s, d) => {
+      import graft.functions.HistSketch
+      t(s, d, "documents").groupBy("source")
+        .agg(HistSketch.histSketch(col("n_chars")).as("sk"))
+        .select(col("source"),
+          aggregate(col("sk"), lit(0L), (a, x) => a + x).as("n"),
+          HistSketch.quantile(col("sk"), 0.5).as("p50_ub"),
+          HistSketch.quantile(col("sk"), 0.9).as("p90_ub"),
+          HistSketch.quantile(col("sk"), 0.99).as("p99_ub"))
+    })
   )
 
   /** q78's oracle: the fixed-point power iteration unrolled as chained
@@ -1299,6 +1316,31 @@ object SparkEntry {
         | min(ts) AS session_start, max(ts) AS session_end,
         | count(*) AS n_events, max(us) - min(us) AS duration_us
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // hist quantiles: bit-length buckets via printf('%b'), cumulative
+    // counts, rank ceil(q*n) by integer //, bucket upper bound rebuilt
+    // shift-safely as ((1 << (b-1)) - 1) * 2 + 1
+    "q90_hist_quantiles" ->
+      """WITH v AS (SELECT source, CASE WHEN n_chars <= 0 THEN 0
+        |   ELSE length(printf('%b', n_chars)) END AS b FROM documents),
+        |c AS (SELECT source, b, count(*) AS cnt FROM v GROUP BY 1, 2),
+        |t AS (SELECT source, sum(cnt) AS n FROM c GROUP BY 1),
+        |cum AS (SELECT c.source, c.b, c.cnt,
+        |  sum(cnt) OVER (PARTITION BY c.source ORDER BY c.b) AS cm, t.n
+        | FROM c JOIN t USING (source)),
+        |est AS (SELECT source, n,
+        |  min(CASE WHEN cm >= (n*5000 + 9999)//10000 THEN b END) AS b50,
+        |  min(CASE WHEN cm >= (n*9000 + 9999)//10000 THEN b END) AS b90,
+        |  min(CASE WHEN cm >= (n*9900 + 9999)//10000 THEN b END) AS b99
+        | FROM cum GROUP BY 1, 2)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        | CAST(CASE WHEN b50 = 0 THEN 0
+        |   ELSE ((1::BIGINT << (b50-1)) - 1) * 2 + 1 END AS BIGINT) AS p50_ub,
+        | CAST(CASE WHEN b90 = 0 THEN 0
+        |   ELSE ((1::BIGINT << (b90-1)) - 1) * 2 + 1 END AS BIGINT) AS p90_ub,
+        | CAST(CASE WHEN b99 = 0 THEN 0
+        |   ELSE ((1::BIGINT << (b99-1)) - 1) * 2 + 1 END AS BIGINT) AS p99_ub
+        |FROM est""".stripMargin,
 
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,
