@@ -34,7 +34,9 @@ object PlanDump {
     "q84_bloom_prune" -> "bloom pruning: the seen side partial-aggregates into ONE m-bit buffer per map task (OR-merged), the candidate side meets it through a one-row BroadcastNestedLoopJoin and a codegen'd bit-test projection — the membership check itself costs zero shuffle; only the exactness join at the end exchanges rows",
     "q85_zorder_layout" -> "z-order layout key: pure projection (shift/and/add chain inside one WholeStageCodegen span) — ZERO Exchange; the caller pays only the range partitioning of the sorted write it already wanted",
     "q86_kmv_set_algebra" -> "kmv set algebra: the corpus is scanned ONCE to build per-source sketches (partial ObjectHashAggregate); every cross-source pair then combines two ≤k-long arrays in a broadcast self-join — pair cost is independent of corpus size, the property that makes 10^6-source overlap profiling feasible at all",
-    "q87_priority_sample" -> "weighted priority sample: Spark pushes WindowGroupLimit partial limits below BOTH exchanges (same certified shape as q63), so the shuffle carries ≤ k rows per (stratum, salt) — a 10^11-row stratum costs its salt count, never one task")
+    "q87_priority_sample" -> "weighted priority sample: Spark pushes WindowGroupLimit partial limits below BOTH exchanges (same certified shape as q63), so the shuffle carries ≤ k rows per (stratum, salt) — a 10^11-row stratum costs its salt count, never one task",
+    "q89_sessionize" -> "sessionization: ONE exchange on the key feeds both the lag/boundary window and the summary aggregation; partitions are bounded by a single key's event count — the honest shape for an inherently sequential-per-key op",
+    "q90_hist_quantiles" -> "histogram quantile sketch: ObjectHashAggregate with a partial_hist_sketch map-side pass — 520-byte buffers cross the shuffle, never rows; the three quantile probes are pure projections folding the 65 counters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
