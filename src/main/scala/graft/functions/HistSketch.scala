@@ -50,7 +50,15 @@ case class HistSketchAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val x = v.asInstanceOf[Long]
+      // integral widths vary by input type (Spark 4's AbstractDataType is
+      // private, so no ImplicitCastInputTypes here); the builder casts to
+      // long and this match keeps a directly-constructed int child from
+      // dying in a mid-task ClassCastException
+      val x = v match {
+        case n: java.lang.Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"hist_sketch expects an integral column, got ${other.getClass}")
+      }
       val b = if (x <= 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x)
       buf(b) += 1L
     }
@@ -87,9 +95,10 @@ case class HistSketchAgg(
 object HistSketch {
   import org.apache.spark.sql.functions._
 
-  /** Aggregate a long column into the 65-bucket log histogram. */
+  /** Aggregate an integral column into the 65-bucket log histogram (the
+    * builder casts to long so int/short columns Just Work). */
   def histSketch(c: Column): Column =
-    Shim.col(HistSketchAgg(Shim.expr(c)).toAggregateExpression())
+    Shim.col(HistSketchAgg(Shim.expr(c.cast("long"))).toAggregateExpression())
 
   // upper bound of bucket b: 0 for b=0 (values ≤ 0), else 2^b − 1; the
   // b=63 entry wraps to Long.MaxValue, exactly the top of the long range.
@@ -104,12 +113,16 @@ object HistSketch {
     * `aggregate` fold over the 65 counters), mirroring the SQL replay. */
   def quantile(sketch: Column, q: Double): Column = {
     require(q > 0 && q <= 1, s"quantile must be in (0,1], got $q")
-    val n = aggregate(sketch, lit(0L), (acc, x) => acc + x)
-    // ceil(q·n) over basis points, in EXACT decimal arithmetic (double
-    // division would wobble past 2^53 at corpus scale): r = (n·bp + 9999)
-    // div 10000 with bp = round(q·10000)
+    // quantiles resolve in basis points; reject a finer q loudly rather
+    // than silently rounding the rank away from the documented ceil(q·n)
     val bp = math.round(q * 10000)
-    val r = floor((n * bp + lit(9999L)).cast("decimal(38,0)") / 10000)
+    require(math.abs(q * 10000 - bp) < 1e-9,
+      s"quantile granularity is 1e-4 (basis points); got $q")
+    val n = aggregate(sketch, lit(0L), (acc, x) => acc + x)
+    // ceil(q·n) in EXACT decimal arithmetic: n is cast to decimal BEFORE
+    // the multiply (n·bp in long would overflow past ~9e14 rows at
+    // q=0.99; double division would wobble past 2^53)
+    val r = floor((n.cast("decimal(38,0)") * bp + lit(9999L)) / 10000)
       .cast("long")
     // fold over (count, index) pairs in bucket order: carry (cum, found)
     val found = aggregate(

@@ -240,24 +240,39 @@ object SnapTable {
       case _ => false // no stats for this column: never prune (conservative)
     }
 
-  /** Manifest-pruned range scan: plans only the files whose min/max range on
-    * `column` intersects `[lo, hi]`, then applies the row-level filter —
-    * semantically identical to `scan(...).filter(col between lo and hi)`,
-    * but a 10^12-row table touches only the matching files' footers. */
-  def scanRange(spark: SparkSession, root: String, column: String,
-      lo: String, hi: String, asOf: Option[Int] = None): DataFrame = {
+  /** Manifest-pruned predicate scan, the shared engine behind
+    * [[scanRange]] and [[scanBox]]: plans only the files whose min/max
+    * stats intersect EVERY `(column, lo, hi)` range, then applies the
+    * row-level filters — semantically identical to
+    * `scan(...).filter(AND of betweens)`, but a 10^12-row table touches
+    * only the matching files' footers. */
+  def scanPred(spark: SparkSession, root: String,
+      ranges: Seq[(String, String, String)],
+      asOf: Option[Int] = None): DataFrame = {
+    require(ranges.nonEmpty, "scanPred needs at least one range")
     val v = asOf.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(s"no snapshots at $root"))
     val m = manifest(spark, root, v)
     val schema = DataType.fromDDL(m.schemaDdl).asInstanceOf[StructType]
-    val numeric = schema(column).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val kept = m.files.filterNot(disjoint(_, column, lo, hi, numeric))
+    def numeric(c: String) =
+      schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val kept = ranges.foldLeft(m.files) { case (fs, (c, lo, hi)) =>
+      fs.filterNot(disjoint(_, c, lo, hi, numeric(c)))
+    }
     val base =
       if (kept.isEmpty) emptyOf(spark, m.schemaDdl)
       else spark.read.schema(schema).parquet(kept.map(_.path): _*)
-    base.filter(col(column) >= lit(lo).cast(schema(column).dataType) &&
-      col(column) <= lit(hi).cast(schema(column).dataType))
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo).cast(schema(c).dataType) &&
+        col(c) <= lit(hi).cast(schema(c).dataType)
+    }.reduce(_ && _)
+    base.filter(pred)
   }
+
+  /** Manifest-pruned range scan on one column — see [[scanPred]]. */
+  def scanRange(spark: SparkSession, root: String, column: String,
+      lo: String, hi: String, asOf: Option[Int] = None): DataFrame =
+    scanPred(spark, root, Seq((column, lo, hi)), asOf)
 
   /** The file paths a range scan would plan — exposed so tests (and capacity
     * audits) can assert manifest-level pruning actually skips files. */
@@ -302,34 +317,16 @@ object SnapTable {
       summary = s"compact of v$cur", expectedParent = Some(cur))
   }
 
-  /** Manifest-pruned BBOX scan: plans only the files whose stats ranges
-    * intersect BOTH `[xLo,xHi]` on `xCol` AND `[yLo,yHi]` on `yCol` — the
+  /** Manifest-pruned BBOX scan: files must intersect BOTH ranges — the
     * file-level form of the tile/bbox predicate every spatial query here
     * starts with. After [[compactZorder]] the two per-file ranges are
     * simultaneously tight, so the intersection plans ~the files whose
-    * z-curve block meets the box. Row-level filters still apply, so the
-    * result is exactly `scan().filter(box)` regardless of layout. */
+    * z-curve block meets the box. Thin wrapper over [[scanPred]]. */
   def scanBox(spark: SparkSession, root: String,
       xCol: String, xLo: String, xHi: String,
       yCol: String, yLo: String, yHi: String,
-      asOf: Option[Int] = None): DataFrame = {
-    val v = asOf.orElse(currentVersion(spark, root))
-      .getOrElse(throw new IllegalArgumentException(s"no snapshots at $root"))
-    val m = manifest(spark, root, v)
-    val schema = DataType.fromDDL(m.schemaDdl).asInstanceOf[StructType]
-    def num(c: String) =
-      schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val kept = m.files
-      .filterNot(disjoint(_, xCol, xLo, xHi, num(xCol)))
-      .filterNot(disjoint(_, yCol, yLo, yHi, num(yCol)))
-    val base =
-      if (kept.isEmpty) emptyOf(spark, m.schemaDdl)
-      else spark.read.schema(schema).parquet(kept.map(_.path): _*)
-    def between(c: String, lo: String, hi: String) =
-      col(c) >= lit(lo).cast(schema(c).dataType) &&
-        col(c) <= lit(hi).cast(schema(c).dataType)
-    base.filter(between(xCol, xLo, xHi) && between(yCol, yLo, yHi))
-  }
+      asOf: Option[Int] = None): DataFrame =
+    scanPred(spark, root, Seq((xCol, xLo, xHi), (yCol, yLo, yHi)), asOf)
 
   /**
    * Z-order clustered compaction: like [[compact]], but the rewrite is

@@ -49,6 +49,19 @@ class HistSketchSpec extends AnyFunSuite {
     assert(estimates(Seq(-3L, 0L), 0.5) == 0L)
   }
 
+  test("int-typed inputs implicitly cast (no mid-task ClassCastException); " +
+      "finer-than-basis-point q rejected loudly") {
+    // IntegerType column through the declared LongType input
+    val viaInt = (1 to 100).map(i => i).toDF("v")
+      .agg(HistSketch.histSketch(col("v")).as("sk"))
+      .select(HistSketch.quantile(col("sk"), 0.5))
+      .as[Long].collect().head
+    assert(viaInt == 63L) // p50 of 1..100 → bucket 6 ub
+    val e = intercept[IllegalArgumentException](
+      HistSketch.quantile(col("sk"), 0.12345))
+    assert(e.getMessage.contains("granularity"), e.getMessage)
+  }
+
   test("empty sketch answers -1") {
     val got = Seq.empty[Long].toDF("v")
       .agg(HistSketch.histSketch(col("v")).as("sk"))
