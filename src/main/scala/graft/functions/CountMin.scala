@@ -5,6 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -53,6 +54,13 @@ case class CountMinAgg(
     copy(child = newChildren.head)
 
   override def nullable: Boolean = false
+  // fail at analysis time, not as a mid-task ClassCastException: update()
+  // reads the child as UTF8String, so demand a string child up front
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"countmin_agg expects a string column, got ${child.dataType.catalogString}" +
+        " — cast explicitly if the key is non-string")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def createAggregationBuffer(): Array[Long] =

@@ -3,8 +3,10 @@ package graft.functions
 import java.nio.ByteBuffer
 import java.security.MessageDigest
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.graftshim.Shim
@@ -56,6 +58,13 @@ case class KmvSketchAgg(
     copy(child = newChildren.head)
 
   override def nullable: Boolean = false
+  // fail at analysis time, not as a mid-task ClassCastException: update()
+  // reads the child as UTF8String, so demand a string child up front
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch expects a string column, got ${child.dataType.catalogString}" +
+        " — cast explicitly if the key is non-string")
   override def dataType: DataType = StructType(Seq(
     StructField("sketch_size", LongType, nullable = false),
     StructField("kth_hash", LongType, nullable = true),
@@ -147,4 +156,61 @@ object KmvSketch {
     * hash is defined on the string image, same as the md5 oracles). */
   def kmvDistinct(c: Column, k: Int): Column =
     Shim.col(KmvSketchAgg(Shim.expr(c), k).toAggregateExpression())
+
+  /**
+   * All-pairs set algebra over per-source sketches (Beyer et al., SIGMOD
+   * 2007): for every unordered pair of rows in `sketches`, the bottom-k of
+   * the union of their hash arrays, the k-th union hash, the count of union
+   * hashes present in BOTH sketches, and the Jaccard estimate in basis
+   * points (integer division — exactly replayable relationally).
+   *
+   * **Pair-budget contract — this output is inherently O(S²)** in the
+   * number of sources S: each combine costs only arithmetic over two ≤k
+   * arrays (the point of the sketch — the corpus itself is never
+   * re-touched), but the RESULT has S·(S−1)/2 rows. Fine to ~10³ sources
+   * (≤5·10⁵ rows); at 10⁶ sources the caller MUST bound the pair space:
+   *  - `pairs = Some(df)` — a (id_a, id_b) candidate table (e.g. same
+   *    language, same crawl, an LSH prefilter on the sketches themselves);
+   *    the cross join becomes two equi-joins and only listed pairs are
+   *    computed;
+   *  - `maxPairs = Some(n)` — a hard output cap (global limit AFTER the
+   *    ordered pair filter) as a safety net against an accidental
+   *    unbounded all-pairs run.
+   *
+   * @param sketches  one row per source: (idCol, hashesCol: array<long>
+   *                  ascending bottom-k, as produced by `kmvDistinct`'s
+   *                  `hashes` field)
+   */
+  def pairOverlap(
+      sketches: DataFrame,
+      idCol: String,
+      hashesCol: String,
+      k: Int,
+      pairs: Option[DataFrame] = None,
+      maxPairs: Option[Long] = None): DataFrame = {
+    val a = sketches.select(col(idCol).as("source_a"), col(hashesCol).as("ha"))
+    val b = sketches.select(col(idCol).as("source_b"), col(hashesCol).as("hb"))
+    val paired = pairs match {
+      case Some(p) =>
+        // canonicalize the caller's pair list: unordered pairs in either
+        // order, self-pairs and duplicates dropped
+        val (pa, pb) = (col(idCol + "_a"), col(idCol + "_b"))
+        p.select(least(pa, pb).as("source_a"), greatest(pa, pb).as("source_b"))
+          .where(col("source_a") =!= col("source_b")).distinct()
+          .join(a, "source_a").join(b, "source_b")
+      case None => a.crossJoin(b).where(col("source_a") < col("source_b"))
+    }
+    val capped = maxPairs.fold(paired)(n => paired.limit(
+      math.min(n, Int.MaxValue.toLong).toInt))
+    capped
+      .withColumn("u", slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+      .withColumn("union_k", size(col("u")).cast("long"))
+      .withColumn("union_kth", element_at(col("u"), size(col("u"))))
+      .withColumn("k_intersect", size(filter(col("u"),
+        h => array_contains(col("ha"), h) && array_contains(col("hb"), h)))
+        .cast("long"))
+      .select(col("source_a"), col("source_b"), col("union_k"),
+        col("union_kth"), col("k_intersect"),
+        expr(s"k_intersect * 10000 div union_k").as("jaccard_bp"))
+  }
 }

@@ -62,8 +62,22 @@ object AsOf {
     val p = "__asof_"
     require(!left.columns.exists(_.startsWith(p)),
       s"left side may not carry columns prefixed $p")
+    // output carries left's columns plus right's payload under its
+    // original names — a shared payload name would yield duplicate
+    // output columns, so demand disjointness up front
+    val clash = right.columns
+      .filterNot(c => keyCols.contains(c) || c == rightTs)
+      .toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"left and right payload column names must be disjoint; both carry " +
+        clash.toSeq.sorted.mkString(", "))
     val renamedRight = right.columns.foldLeft(right)(
       (df, c) => df.withColumnRenamed(c, p + c))
+    // interval-end bookkeeping column: deliberately NOT under the $p
+    // prefix ("__asofvt", no trailing underscore) so no right column can
+    // collide with it after prefixing — a right payload literally named
+    // "valid_to" would otherwise be overwritten by the lead() below
+    val vt = "__asofvt"
     // duplicate (key, ts) versions: lead() over a bare ts order would let
     // shuffle layout decide which duplicate gets the live interval (the
     // others get empty [ts, ts) ranges). A value-derived tiebreak makes
@@ -73,10 +87,10 @@ object AsOf {
     val byKey = Window.partitionBy(keyCols.map(k => col(p + k)): _*)
       .orderBy(col(p + rightTs), tiebreak)
     val intervals = renamedRight
-      .withColumn(s"${p}valid_to", lead(col(p + rightTs), 1).over(byKey))
+      .withColumn(vt, lead(col(p + rightTs), 1).over(byKey))
     val joinKeys = keyCols.map(k => col(k) === col(p + k))
     val inWindow = col(leftTs) >= col(p + rightTs) &&
-      (col(s"${p}valid_to").isNull || col(leftTs) < col(s"${p}valid_to"))
+      (col(vt).isNull || col(leftTs) < col(vt))
     val joined = left.join(intervals,
       joinKeys.reduce(_ && _) && inWindow, "left_outer")
     // keep left's columns + right's payload (drop right's key copies and

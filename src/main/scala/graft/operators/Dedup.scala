@@ -149,12 +149,21 @@ object Dedup {
    * (two longs); the hot-bucket set itself stays distributed and is
    * anti-joined back — broadcast-hinted while it fits comfortably
    * (realistically it is tiny: a bucket must exceed `maxBucket` members to
-   * appear), falling back to a shuffled anti-join past 10⁷ hot buckets so an
-   * adversarial corpus (every bucket hot) degrades to one extra shuffle
-   * instead of a driver OOM. The zero-hot-bucket fast path adds only one
+   * appear), falling back to a shuffled anti-join past
+   * [[BroadcastHotBucketLimit]] (10⁵) hot buckets so an adversarial corpus
+   * (every bucket hot) degrades to one extra shuffle instead of a driver
+   * OOM. The zero-hot-bucket fast path adds only one
    * cheap aggregation over the cached banded table.
    */
-  private def capBuckets(banded: DataFrame, maxBucket: Int, what: String): DataFrame = {
+  /** Hot-bucket key sets above this row count are anti-joined with a
+   * shuffle instead of a broadcast. 10^5 (b,h) pairs ≈ a few MB
+   * serialized — comfortably under any driver/executor budget; the old
+   * 10^7 limit could push hundreds of MB through the broadcast path on a
+   * memory-tight driver before the fallback engaged. */
+  private[graft] val BroadcastHotBucketLimit = 100000L
+
+  private[graft] def capBuckets(banded: DataFrame, maxBucket: Int, what: String,
+      broadcastLimit: Long = BroadcastHotBucketLimit): DataFrame = {
     val hot = banded.groupBy("__b", "__h").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -167,7 +176,7 @@ object Dedup {
         s"hot buckets over occupancy cap $maxBucket — recall is reduced for " +
         s"members of these buckets")
       val hotKeys = hot.select(col("__b"), col("__h"))
-      val rel = if (nBuckets <= 10_000_000L) broadcast(hotKeys) else hotKeys
+      val rel = if (nBuckets <= broadcastLimit) broadcast(hotKeys) else hotKeys
       banded.join(rel, Seq("__b", "__h"), "left_anti")
     }
   }

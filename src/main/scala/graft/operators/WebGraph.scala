@@ -35,10 +35,18 @@ import org.apache.spark.sql.graftshim.Shim
 object WebGraph {
 
   /**
-   * Fixed-iteration integer PageRank. Input is any (src, dst) edge table;
-   * self-loops and duplicate edges are dropped first (a host linking to
-   * itself or linking twice carries no extra endorsement). Output:
-   * one row per node appearing on either side — (node, rank) with rank in
+   * Fixed-iteration integer PageRank. Input is an edge table whose
+   * src/dst columns are INTEGRAL (byte/short/int/long) node ids — the
+   * replayable-oracle contract fixes node identity as BIGINT, and a
+   * silent `cast("long")` on a string column would null every id and
+   * return an empty result with no error, so non-integral id columns are
+   * rejected at call time. String ids (hostnames) must be hashed
+   * explicitly by the caller, e.g. `xxhash64(col("host"))` — an explicit
+   * hash keeps the id→host mapping in the caller's hands (join back on
+   * the same hash) instead of silently inventing one here. Self-loops
+   * and duplicate edges are dropped first (a host linking to itself or
+   * linking twice carries no extra endorsement). Output: one row per
+   * node appearing on either side — (node, rank) with rank in
    * micro-units of `scale`.
    *
    * Scale shape (the part that matters at 10^8 hosts / 10^11 edges):
@@ -62,6 +70,14 @@ object WebGraph {
       iters: Int = 10,
       scale: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    for (c <- Seq(srcCol, dstCol)) {
+      val dt = edgesIn.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"pageRank needs integral node ids; column '$c' is " +
+          s"${dt.catalogString}. Hash string ids explicitly first, e.g. " +
+          s"""xxhash64(col("$c")), and join ranks back on the same hash.""")
+    }
     val spark = edgesIn.sparkSession
     val shufPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
 

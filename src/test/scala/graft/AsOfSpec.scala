@@ -97,4 +97,27 @@ class AsOfSpec extends AnyFunSuite {
       assert(!leaves.contains("id#"), leaves)
     }
   }
+
+  test("right payload named valid_to survives intact — the interval " +
+    "bookkeeping column cannot collide with any prefixed right column") {
+    val right = Seq((1L, 100L, 777L), (1L, 200L, 888L))
+      .toDF("k", "sts", "valid_to")
+    val left = Seq((10L, 1L, 250L), (11L, 1L, 150L)).toDF("id", "k", "ts")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts", "sts")
+    assert(out.columns.toSeq == Seq("id", "k", "ts", "valid_to"))
+    val got = out.select(col("id"), col("valid_to"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 888L, 11L -> 777L)) // caller DATA, not lead()
+  }
+
+  test("left/right payload name collision is rejected up front instead of " +
+    "emitting duplicate output columns") {
+    val right = Seq((1L, 100L, "x")).toDF("k", "sts", "payload")
+    val left = Seq((10L, 1L, 250L, "y")).toDF("id", "k", "ts", "payload")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left, right, Seq("k"), "ts", "sts")
+    }
+    assert(e.getMessage.contains("payload"))
+  }
+
 }

@@ -94,4 +94,13 @@ class BloomJoinSpec extends AnyFunSuite {
       .count()
     assert(fp > 100 && fp < 700, s"fp=$fp outside the plausible band")
   }
+
+  test("non-string child fails at ANALYSIS with a readable message") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L, 2L).toDF("v")
+        .agg(graft.functions.Bloom.bloomBuild(col("v"), 1024, 4)).collect()
+    }
+    assert(e.getMessage.contains("string column"))
+  }
+
 }

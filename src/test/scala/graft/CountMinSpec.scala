@@ -68,4 +68,13 @@ class CountMinSpec extends AnyFunSuite {
     val est = estimates(vs, Seq("absent-token"))
     assert(est("absent-token") >= 0L)
   }
+
+  test("non-string child fails at ANALYSIS with a readable message") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L, 2L).toDF("v")
+        .agg(graft.functions.CountMin.countMin(col("v"), 4, 512)).collect()
+    }
+    assert(e.getMessage.contains("string column"))
+  }
+
 }

@@ -112,4 +112,46 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(union.length == 50)
     assert(kIntersect == 10)
   }
+
+  test("non-string child fails at ANALYSIS with a readable message, not a " +
+    "mid-task ClassCastException") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L, 2L).toDF("v")
+        .agg(KmvSketch.kmvDistinct(col("v"), 4)).collect()
+    }
+    assert(e.getMessage.contains("string column"))
+  }
+
+  test("pairOverlap: candidate-pair table and maxPairs bound the O(S^2) " +
+    "pair space; values match the unrestricted run") {
+    val docs = Seq(("s1", "a b c"), ("s2", "a b d"),
+      ("s3", "x y z"), ("s4", "p q r")).toDF("source", "text")
+    val sk = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source")
+      .agg(KmvSketch.kmvDistinct(col("w"), 16).as("sk"))
+      .select(col("source"), col("sk.hashes").as("hs"))
+      .cache()
+    val full = KmvSketch.pairOverlap(sk, "source", "hs", 16).cache()
+    assert(full.count() == 6) // C(4,2)
+    // k=16 covers every union, so the estimate is EXACT Jaccard
+    val j12 = full.filter(col("source_a") === "s1" && col("source_b") === "s2")
+      .select("jaccard_bp").as[Long].head()
+    assert(j12 == 5000L) // |{a,b}| / |{a,b,c,d}| = 2/4
+    // pair table: unordered, non-canonical order and a self-pair tolerated
+    val pairs = Seq(("s1", "s2"), ("s3", "s1"), ("s2", "s2"))
+      .toDF("source_a", "source_b")
+    val filtered = KmvSketch.pairOverlap(sk, "source", "hs", 16,
+      pairs = Some(pairs))
+    val want = full.filter(
+      (col("source_a") === "s1" && col("source_b") === "s2") ||
+      (col("source_a") === "s1" && col("source_b") === "s3"))
+    assert(filtered.collect().toSet == want.collect().toSet)
+    // hard cap: a subset of the full output, exactly maxPairs rows
+    val capped = KmvSketch.pairOverlap(sk, "source", "hs", 16,
+      maxPairs = Some(2L))
+    assert(capped.count() == 2)
+    assert(capped.collect().toSet.subsetOf(full.collect().toSet))
+  }
+
 }

@@ -1082,4 +1082,28 @@ class TrainingOpsSpec extends AnyFunSuite {
       .select("doc_id").as[String].collect().toSet
     assert(ids == Set("https://a.test/1", "https://b.test/2"), ids.toString)
   }
+
+  test("capBuckets: the shuffled fallback (hot-key set past the broadcast " +
+    "limit) drops exactly the same rows as the broadcast path") {
+    // buckets: (0,100) holds 4 rows (over cap 3 -> dropped), (1,200) holds 2
+    val banded = spark.createDataset(
+      (0 until 4).map(i => (i.toLong, 0, 100L)) ++
+        Seq((10L, 1, 200L), (11L, 1, 200L)))
+      .toDF("id", "__b", "__h")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val broadPath = Dedup.capBuckets(banded, 3, "spec")
+      val shufPath = Dedup.capBuckets(banded, 3, "spec", broadcastLimit = 0L)
+      val want = Set(10L, 11L)
+      assert(broadPath.select("id").as[Long].collect().toSet == want)
+      assert(shufPath.select("id").as[Long].collect().toSet == want)
+      // with auto-broadcast off, only the hinted path may broadcast
+      assert(broadPath.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(!shufPath.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
 }

@@ -74,4 +74,22 @@ class WebGraphSpec extends AnyFunSuite {
     assert(r.values.sum <= r.size * 1000000L)
     assert(r.values.forall(_ >= 150000L)) // the damping floor
   }
+
+  test("string node ids are rejected loudly, not silently nulled to an " +
+    "empty result") {
+    val hosts = Seq(("a.com", "b.com"), ("b.com", "a.com"))
+      .toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      WebGraph.pageRank(hosts, "src", "dst", 2)
+    }
+    assert(e.getMessage.contains("xxhash64"))
+    // the recipe the message prescribes works: hash explicitly, join back
+    val hashed = hosts.select(xxhash64(col("src")).as("src"),
+      xxhash64(col("dst")).as("dst"))
+    val ranks = WebGraph.pageRank(hashed, "src", "dst", 2)
+    val byHost = hosts.select(col("src").as("host")).distinct()
+      .join(ranks, xxhash64(col("host")) === col("node"))
+    assert(byHost.count() == 2)
+  }
+
 }
