@@ -1062,6 +1062,27 @@ object SparkEntry {
           HistSketch.quantile(col("sk"), 0.5).as("p50_ub"),
           HistSketch.quantile(col("sk"), 0.9).as("p90_ub"),
           HistSketch.quantile(col("sk"), 0.99).as("p99_ub"))
+    }),
+
+    // the REAL image codec under the relational oracle (the q54
+    // construction applied to javax.imageio): solid-color PNG/BMP bytes
+    // rendered per doc_id by the real imageio WRITERS, decoded back by
+    // ImageIoCodec (the real READER path q32's FakeCodec twin doesn't
+    // touch), with an undecodable payload planted every 5th id to grade
+    // the sentinel row. Dimensions/channels/format/frames are exact id
+    // arithmetic; per-channel means are one exactly-rounded IEEE division
+    // (r/255) in both engines, so the floats grade value-for-value
+    "q91_imageio_decode" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.renderSolidImages(
+        t(s, d, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.decodeAndExtract(media, () => new Multimodal.ImageIoCodec())
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          col("n_frames"), col("format"),
+          element_at(col("feature"), 1).as("r_mean"),
+          element_at(col("feature"), 2).as("g_mean"),
+          element_at(col("feature"), 3).as("b_mean"),
+          element_at(col("feature"), 4).as("a_mean"))
     })
   )
 
@@ -1333,6 +1354,29 @@ object SparkEntry {
         | CAST(CASE WHEN b99 = 0 THEN 0
         |   ELSE ((1::BIGINT << (b99-1)) - 1) * 2 + 1 END AS BIGINT) AS p99_ub
         |FROM est""".stripMargin,
+
+    // q91: what the real imageio decoder must recover from the rendered
+    // solid-color images — exact id arithmetic for dims/format, one
+    // exactly-rounded IEEE division (c/255.0 -> REAL) for channel means;
+    // a_mean is 0 everywhere (TYPE_INT_RGB has no alpha; sentinel is 0s)
+    "q91_imageio_decode" ->
+      """SELECT doc_id AS media_id,
+        | CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+        |   ELSE 8 + doc_id % 9 END AS INT) AS width,
+        | CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+        |   ELSE 8 + (doc_id * 3) % 7 END AS INT) AS height,
+        | CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 3 END AS INT) AS channels,
+        | CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS INT) AS n_frames,
+        | CASE WHEN doc_id % 5 = 0 THEN 'undecodable'
+        |      WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        | CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+        |   ELSE (doc_id % 256) / 255.0 END AS REAL) AS r_mean,
+        | CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+        |   ELSE ((doc_id * 7) % 256) / 255.0 END AS REAL) AS g_mean,
+        | CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+        |   ELSE ((doc_id * 13) % 256) / 255.0 END AS REAL) AS b_mean,
+        | CAST(0 AS REAL) AS a_mean
+        |FROM documents""".stripMargin,
 
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,

@@ -178,6 +178,61 @@ object Multimodal {
       }(encoder)
   }
 
+  /**
+   * Deterministic test-image renderer: one SOLID-COLOR image per id,
+   * dimensions and color pure functions of the id, encoded through the
+   * REAL `javax.imageio` writers (PNG for even ids, BMP for odd) with a
+   * planted undecodable payload every 5th id. Purpose: drive the real
+   * [[ImageIoCodec]] under a relational oracle — solid color + lossless
+   * formats make every decoded property (dims, channels, format, frame
+   * count, per-channel pixel means) an exact integer / single-division
+   * function of the id that DuckDB replays value-for-value (q91):
+   *
+   *   width  = 8 + id % 9          r = id % 256        r_mean = r / 255
+   *   height = 8 + (id*3) % 7      g = (id*7) % 256    (one IEEE division
+   *   format = png | bmp | (id%5==0) undecodable       -> exactly rounded
+   *   channels = 3, frames = 1 (0s for undecodable)       in both engines)
+   *
+   * Same mapPartitions shape as the decode stage: encoder state per
+   * partition, batch loop; the bytes themselves are never graded (an
+   * encoder is free to pick any valid compression), only what the real
+   * decoder recovers from them.
+   */
+  def renderSolidImages(ids: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          require(id >= 0, s"renderSolidImages needs nonnegative ids, got $id")
+          val bytes =
+            if (id % 5 == 0) s"not an image $id".getBytes("UTF-8")
+            else {
+              val w = 8 + (id % 9).toInt
+              val h = 8 + ((id * 3) % 7).toInt
+              val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) |
+                ((id * 13) % 256)).toInt
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img,
+                if (id % 2 == 0) "png" else "bmp", bos)
+              bos.toByteArray
+            }
+          Row(id, bytes)
+        }
+      }(enc)
+  }
+
   /** Resize stage: pure metadata arithmetic over the decoded table. */
   def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(lit(1.0),

@@ -1106,4 +1106,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+
+  test("multimodal: renderSolidImages -> ImageIoCodec round trip matches " +
+    "the exact id arithmetic the q91 oracle replays") {
+    val ids = spark.range(0, 60).toDF("doc_id")
+    val out = Multimodal.decodeAndExtract(
+      Multimodal.renderSolidImages(ids, "doc_id"),
+      () => new Multimodal.ImageIoCodec()).collect()
+    assert(out.length == 60)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 5 == 0) {
+        assert(r.getInt(1) == 0 && r.getInt(2) == 0 && r.getInt(3) == 0)
+        assert(r.getString(5) == "undecodable")
+        assert(r.getSeq[Float](6).forall(_ == 0.0f))
+      } else {
+        assert(r.getInt(1) == 8 + (id % 9).toInt, s"width of $id")
+        assert(r.getInt(2) == 8 + ((id * 3) % 7).toInt, s"height of $id")
+        assert(r.getInt(3) == 3 && r.getInt(4) == 1)
+        assert(r.getString(5) == (if (id % 2 == 0) "png" else "bmp"))
+        val f = r.getSeq[Float](6)
+        assert(f(0) == ((id % 256) / 255.0).toFloat, s"r_mean of $id")
+        assert(f(1) == (((id * 7) % 256) / 255.0).toFloat, s"g_mean of $id")
+        assert(f(2) == (((id * 13) % 256) / 255.0).toFloat, s"b_mean of $id")
+        assert(f(3) == 0.0f)
+      }
+    }
+  }
+
 }
