@@ -24,8 +24,16 @@ object ScalingBench {
     if (localDir.startsWith("/dev/shm")) {
       val d = new java.io.File(localDir); d.mkdirs(); Bench.wipeStale(d)
     }
+    // SPARK_GRAFT_MASTER overrides the in-process local[cpus] master —
+    // the multi-executor literal: `local-cluster[W,C,MB]` spawns W separate
+    // executor JVMs with C cores each, so the same job runs with real
+    // executor boundaries (serialized task dispatch, remote shuffle fetch,
+    // per-executor heaps) instead of threads sharing one JVM. Used by
+    // tools/local_cluster_scaling.sh for the north rule's "multi-executor
+    // cluster" phrasing; `cpus` stays the partition/reporting count.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))

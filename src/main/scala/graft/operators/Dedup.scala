@@ -162,6 +162,14 @@ object Dedup {
    * memory-tight driver before the fallback engaged. */
   private[graft] val BroadcastHotBucketLimit = 100000L
 
+  /** Banded rows dropped by the occupancy cap since the last [[resetCapDrops]]
+    * — the soak harness's observable for "the exact-dup collapse absorbed the
+    * planted mega-cluster; the cap never engaged". The (buckets, rows) stats
+    * are computed driver-side in capBuckets anyway ([[DataFrame.first]]), so a
+    * driver-JVM counter is exact, not a sampled metric. */
+  private[graft] val capDroppedRows = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def resetCapDrops(): Unit = capDroppedRows.set(0L)
+
   private[graft] def capBuckets(banded: DataFrame, maxBucket: Int, what: String,
       broadcastLimit: Long = BroadcastHotBucketLimit): DataFrame = {
     val hot = banded.groupBy("__b", "__h").agg(count(lit(1)).as("__n"))
@@ -172,6 +180,7 @@ object Dedup {
     val (nBuckets, dropped) = (stats.getLong(0), stats.getLong(1))
     if (nBuckets == 0L) { hot.unpersist(); banded }
     else {
+      capDroppedRows.addAndGet(dropped)
       log.warn(s"$what: dropping $dropped banded rows across $nBuckets " +
         s"hot buckets over occupancy cap $maxBucket — recall is reduced for " +
         s"members of these buckets")

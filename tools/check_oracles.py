@@ -21,7 +21,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def main(sfdir: str, outdir: str) -> int:
+def main(sfdir: str, outdir: str, json_out: str = None) -> int:
+    results = {}
     con = duckdb.connect()
     for f in glob.glob(os.path.join(sfdir, "*.parquet")):
         name = os.path.basename(f)[:-len(".parquet")]
@@ -35,14 +36,17 @@ def main(sfdir: str, outdir: str) -> int:
             want = norm(con.execute(sql).df())
         except Exception as e:
             print(f"FAIL {q}: error {e}")
+            results[q] = {"status": "fail", "detail": f"error {e}"[:300]}
             n_fail += 1
             continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {q}: columns {list(got.columns)} vs {list(want.columns)}")
+            results[q] = {"status": "fail", "detail": "column mismatch"}
             n_fail += 1
             continue
         if len(got) != len(want):
             print(f"FAIL {q}: rows {len(got)} vs {len(want)}")
+            results[q] = {"status": "fail", "detail": f"rows {len(got)} vs {len(want)}"}
             n_fail += 1
             continue
         eq = True
@@ -68,8 +72,10 @@ def main(sfdir: str, outdir: str) -> int:
                     break
         if eq:
             print(f"PASS {q} ({len(got)} rows)")
+            results[q] = {"status": "pass", "rows": len(got)}
             n_pass += 1
         else:
+            results[q] = {"status": "fail", "detail": "value mismatch"}
             n_fail += 1
     # rows-only queries (no oracle)
     for d in sorted(os.listdir(outdir)):
@@ -78,13 +84,23 @@ def main(sfdir: str, outdir: str) -> int:
             try:
                 n = sum(len(pd.read_parquet(p)) for p in glob.glob(os.path.join(qdir, "*.parquet")))
                 print(f"ROWS {d}: {n} rows {'(>0 ok)' if n > 0 else '(EMPTY!)'}")
+                results[d] = {"status": "rows_only" if n > 0 else "fail", "rows": n}
                 if n == 0:
                     n_fail += 1
             except Exception as e:
                 print(f"ROWS {d}: unreadable {e}")
                 n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        import subprocess
+        commit = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                                text=True).stdout.strip()
+        json.dump({"sf_dir": sfdir, "commit": commit,
+                   "n_pass": n_pass, "n_fail": n_fail,
+                   "queries": results}, open(json_out, "w"), indent=1)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
