@@ -57,7 +57,8 @@ case class CountMinAgg(
   // fail at analysis time, not as a mid-task ClassCastException: update()
   // reads the child as UTF8String, so demand a string child up front
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType.isInstanceOf[StringType] ||
+        child.dataType == NullType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"countmin_agg expects a string column, got ${child.dataType.catalogString}" +
         " — cast explicitly if the key is non-string")
