@@ -16,6 +16,32 @@ import org.apache.spark.sql.SparkSession
 object ScalingBench {
 
   def run(cpus: Int, nPages: Long, nRoads: Int): (Long, Long, Double) = {
+    val spark = session(cpus)
+    try Bench.conflationThroughput(spark, nPages, nRoads)
+    finally spark.stop()
+  }
+
+  /**
+   * Warm-up and measurement INSIDE one session — executor-JIT parity for
+   * local-cluster masters (`SPARK_GRAFT_WARM_IN_SESSION=1`). In thread
+   * mode the warm-up session and the measured session share one JVM, so
+   * the measured run executes JIT-warm; under a local-cluster master a
+   * session's executors DIE with it, a separate warm-up session warms
+   * nothing, and the measured run pays the full interpreter/C2 ramp on
+   * every fresh executor JVM (~2.5× at 6.4M observed). Running the
+   * small-scale warm-up through the SAME session's executors restores the
+   * discipline the thread-mode protocol already has; the measured call is
+   * identical ([[Bench.conflationThroughput]] clears SQL caches first).
+   */
+  def runShared(cpus: Int, nPages: Long, nRoads: Int): (Long, Long, Double) = {
+    val spark = session(cpus)
+    try {
+      Bench.conflationThroughput(spark, 2000, 200)
+      Bench.conflationThroughput(spark, nPages, nRoads)
+    } finally spark.stop()
+  }
+
+  private def session(cpus: Int): org.apache.spark.sql.SparkSession = {
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus.toString)
     val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp")
     // on tmpfs, leaked shuffle dirs from killed runs are leaked RAM that
@@ -51,8 +77,7 @@ object ScalingBench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.contains("SPARK_GRAFT_STAGE_REPORT")) addStageReport(spark)
-    try Bench.conflationThroughput(spark, nPages, nRoads)
-    finally spark.stop()
+    spark
   }
 
   /** Opt-in per-stage diagnostic (SPARK_GRAFT_STAGE_REPORT=1): stage wall
@@ -110,10 +135,15 @@ object ScalingBench {
     val cpus = args(0).toInt
     val nPages = if (args.length > 1) args(1).toLong else 400000L
     val nRoads = if (args.length > 2) args(2).toInt else 16000
-    // warm-up (JIT + codegen caches) at small scale, same parallelism
-    run(cpus, 2000, 200)
+    val warmShared = sys.env.contains("SPARK_GRAFT_WARM_IN_SESSION")
+    // warm-up (JIT + codegen caches) at small scale, same parallelism —
+    // in its own session for the thread-mode protocol, in the MEASURED
+    // session under a local-cluster master (see runShared)
+    if (!warmShared) run(cpus, 2000, 200)
     val s0 = cpuStat()
-    val (segs, tiles, sec) = run(cpus, nPages, nRoads)
+    val (segs, tiles, sec) =
+      if (warmShared) runShared(cpus, nPages, nRoads)
+      else run(cpus, nPages, nRoads)
     val s1 = cpuStat()
     val d = s1.zip(s0).map { case (a, b) => (a - b).toDouble }
     val total = math.max(d.sum, 1.0)
