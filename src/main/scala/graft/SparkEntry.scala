@@ -504,10 +504,17 @@ object SparkEntry {
     // pair graph from scratch (brute-force Jaccard, like q26) and the
     // transitive closure with a recursive CTE, so both the pair recall AND
     // the label-propagation fixpoint are graded against ground truth
+    // computed in collapsed form (components over the representative graph
+    // + member-map join) — byte-identical to the expanded
+    // nearDupKeepers(minhashLshPairs(...)) per the nearDupKeepersCollapsed
+    // equivalence argument, pinned in DedupSpec; the within-group pair
+    // expansion never materializes
     "q59_dedup_components" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      graft.operators.Dedup.nearDupKeepers(docs, "doc_id",
-        graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text"))
+      val (repPairs, members) =
+        graft.operators.Dedup.minhashLshPairsCollapsed(docs, "doc_id", "text")
+      graft.operators.Dedup.nearDupKeepersCollapsed(docs, "doc_id",
+        repPairs, members)
     }),
 
     // same resolution through the diameter-proof star-contraction labeler
@@ -515,8 +522,10 @@ object SparkEntry {
     // component algorithms are driver-graded, not just spec'd
     "q60_components_star" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      graft.operators.Dedup.nearDupKeepers(docs, "doc_id",
-        graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text"),
+      val (repPairs, members) =
+        graft.operators.Dedup.minhashLshPairsCollapsed(docs, "doc_id", "text")
+      graft.operators.Dedup.nearDupKeepersCollapsed(docs, "doc_id",
+        repPairs, members,
         algo = graft.operators.Dedup.componentsStar(_, _, _))
     }),
 
@@ -528,8 +537,10 @@ object SparkEntry {
       val root = s"${SmokeWorld.auxDir}/tmp_star_state"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       val docs = t(s, d, "documents")
-      graft.operators.Dedup.nearDupKeepers(docs, "doc_id",
-        graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text"),
+      val (repPairs, members) =
+        graft.operators.Dedup.minhashLshPairsCollapsed(docs, "doc_id", "text")
+      graft.operators.Dedup.nearDupKeepersCollapsed(docs, "doc_id",
+        repPairs, members,
         algo = graft.operators.Dedup.componentsStarResumable(_, root, _, _))
     }),
 

@@ -561,25 +561,43 @@ object Dedup {
    * the component. Ids absent from `pairs` are singletons — callers that
    * need them use [[nearDupKeepers]], which left-joins the full corpus.
    */
-  def components(pairs: DataFrame, aCol: String = "id_a",
+  def components(pairs0: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIters: Int = 50): DataFrame = {
+    // evaluate the caller's pair pipeline ONCE (both union branches below
+    // would otherwise re-run it inside the edge materialization job)
+    val pairs = pairs0.select(col(aCol), col(bCol)).localCheckpoint(true)
+    // one exchange: hash(src) both co-locates the per-round join key and
+    // satisfies the dedup's ClusteredDistribution(src, dst) — the r5 shape
+    // paid a distinct-shuffle AND a repartition-shuffle here
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // round 1 folded into initialization: comp₁(v) = min(v, min direct
+    // neighbor) — exactly what one propagation from comp₀ = id computes, at
+    // the cost of one aggregation instead of a full round + change probe
+    var labels = edges.groupBy("src").agg(min("dst").as("__mn"))
+      .select(col("src").as("id"), least(col("src"), col("__mn")).as("comp"))
       .localCheckpoint(true)
-    var iter = 0
+    var iter = 1
     var converged = false
     while (!converged && iter < maxIters) {
-      val prop = edges.join(labels.select(col("id").as("src"), col("comp")), "src")
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.union(prop).groupBy("id").agg(min("comp").as("comp"))
+      // one propagation = min of the neighborhood labels, partial-aggregated
+      // map-side; the change flag rides INSIDE the checkpointed generation so
+      // the convergence probe is a scan of materialized blocks, not a second
+      // join of two label generations (which cost one extra shuffle per
+      // round in the r5 shape)
+      val lbl = labels.select(col("id").as("src"), col("comp"))
+      val pm = edges.join(lbl, "src")
+        .groupBy("dst").agg(min("comp").as("__p"))
+      val next = labels
+        .join(pm.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__p"), col("comp"))).as("comp"),
+          coalesce(col("__p") < col("comp"), lit(false)).as("__chg"))
         .localCheckpoint(true)
-      val changed = next.join(labels.select(col("id"), col("comp").as("__old")), "id")
-        .filter(col("comp") =!= col("__old")).limit(1).count()
+      val changed = next.filter(col("__chg")).limit(1).count()
       // generation k is materialized and probed — release k−1's blocks
       org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(labels)
       labels = next
@@ -592,7 +610,7 @@ object Dedup {
         s"upper-bound partition (over-split, never merged wrongly). " +
         s"Use componentsStar for high-diameter graphs.")
     edges.unpersist()
-    labels
+    labels.select("id", "comp")
   }
 
   /**
@@ -623,27 +641,43 @@ object Dedup {
    * [[nearDupKeepers]]).
    */
   // canonical edge form shared by the star-contraction variants:
-  // u > v, no self-loops, distinct
+  // u > v, no self-loops, distinct. The dedup is clustered by u ALONE
+  // (hash(u) satisfies ClusteredDistribution(u, v), so dropDuplicates adds
+  // no second exchange) — the output arrives hash-partitioned on u, which
+  // the small-star half consumes directly (groupBy(u) + join on u, zero
+  // further exchanges). u is the NON-root end of every canonical edge, so
+  // the u-hash spreads; the hot key of a contracting graph is the root v.
   private def canonStar(e: DataFrame): DataFrame = e
     .filter(col("u") =!= col("v"))
     .select(greatest(col("u"), col("v")).as("u"),
       least(col("u"), col("v")).as("v"))
-    .distinct()
+    .repartition(col("u"))
+    .dropDuplicates("u", "v")
 
   /** One alternating large-star + small-star contraction round over a
-    * canonical edge set; returns the next canonical generation. */
+    * canonical edge set; returns the next canonical generation.
+    * Exchange budget: ONE shuffle of nbrs (hash(x), reused by both the
+    * min-aggregation and the neighborhood join) + the two canonStar
+    * repartitions — the r5 shape paid six (each groupBy/join/distinct
+    * re-shuffled its own input). */
   private def starRound(edges: DataFrame): DataFrame = {
     // large-star: neighborhoods from both directions; m = min(N(x) ∪ {x});
-    // emit (n, m) for the strictly-larger neighbors n > x
+    // emit (n, m) for the strictly-larger neighbors n > x. One explicit
+    // hash(x) repartition feeds both consumers: the identical Exchange
+    // subtree is planned once (ReuseExchange), the groupBy and the join
+    // both read it in place.
     val nbrs = edges.select(col("u").as("x"), col("v").as("n"))
       .union(edges.select(col("v").as("x"), col("u").as("n")))
+      .repartition(col("x"))
     val mins = nbrs.groupBy("x")
       .agg(min("n").as("mn"))
       .select(col("x"), least(col("x"), col("mn")).as("m"))
     val large = canonStar(nbrs.join(mins, "x").filter(col("n") > col("x"))
       .select(col("n").as("u"), col("m").as("v")))
     // small-star on the canonical (u > v) form: S(u) = smaller neighbors,
-    // m = min(S(u)); rewire every v ∈ S(u) and u itself onto m
+    // m = min(S(u)); rewire every v ∈ S(u) and u itself onto m. `large` is
+    // already hash(u)-partitioned from canonStar, so the aggregation and
+    // the join run in place.
     val smins = large.groupBy("u").agg(min("v").as("m"))
     canonStar(
       large.join(smins, "u").select(col("v").as("u"), col("m").as("v"))
@@ -656,11 +690,14 @@ object Dedup {
     ids.join(edges.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
       .groupBy("id").agg(min(coalesce(col("comp"), col("id"))).as("comp"))
 
-  def componentsStar(pairs: DataFrame, aCol: String = "id_a",
+  def componentsStar(pairs0: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIters: Int = 30): DataFrame = {
+    // evaluate the caller's pair pipeline ONCE (it is typically the full
+    // LSH candidate/verify chain); ids and the round-0 edge set both
+    // derive narrowly from the checkpointed copy
+    val pairs = pairs0.select(col(aCol), col(bCol)).localCheckpoint(true)
     val ids = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id"))).distinct()
-      .localCheckpoint(true)
     var edges = canonStar(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
       .localCheckpoint(true)
     // count carried across rounds: both generations are canonical (distinct)
@@ -708,14 +745,15 @@ object Dedup {
    * Returns the label readout of the newest durable generation — final
    * exactly when [[componentsStarConverged]] reports true.
    */
-  def componentsStarResumable(pairs: DataFrame, stateRoot: String,
+  def componentsStarResumable(pairs0: DataFrame, stateRoot: String,
       aCol: String = "id_a", bCol: String = "id_b",
       maxIters: Int = 30, roundsThisRun: Int = Int.MaxValue): DataFrame = {
     import graft.sources.SnapTable
-    val spark = pairs.sparkSession
+    val spark = pairs0.sparkSession
+    // one evaluation of the caller's pair pipeline, as in [[componentsStar]]
+    val pairs = pairs0.select(col(aCol), col(bCol)).localCheckpoint(true)
     val ids = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id"))).distinct()
-      .localCheckpoint(true)
     // resume point: the newest durable generation (its round state rides in
     // the manifest summary, atomic with the file list), else round 0 built
     // from the pairs
@@ -726,24 +764,36 @@ object Dedup {
           (SnapTable.scan(spark, stateRoot), st._2, st._1, st._3)
         case None =>
           val e0 = canonStar(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
-            .localCheckpoint(true)
-          val n0 = e0.count()
+          val files = SnapTable.stage(e0, stateRoot)
+          val n0 = files.map(_.rows).sum
           val c0 = n0 == 0L
-          SnapTable.overwrite(e0, stateRoot, summary = starSummary(0, n0, c0))
+          SnapTable.publish(spark, stateRoot, "overwrite", e0.schema.toDDL,
+            files, summary = starSummary(0, n0, c0))
           (SnapTable.scan(spark, stateRoot), n0, 0, c0)
       }
     var executed = 0
     while (!converged && round < maxIters && executed < roundsThisRun) {
-      val next = starRound(edges).localCheckpoint(true)
-      val nextCount = next.count()
+      // the durable write IS the round's materialization: stage the next
+      // generation's data files (one write job + one stats pass whose
+      // per-file row counts give the edge count for free), probe
+      // convergence against the staged files, then publish the manifest
+      // with the final (round, count, converged) summary. The r5 shape
+      // paid an extra localCheckpoint + count() materialization per round
+      // on top of the same parquet write; a crash between stage and
+      // publish orphans invisible files — identical recovery semantics.
+      val next = starRound(edges)
+      val files = SnapTable.stage(next, stateRoot)
+      val nextCount = files.map(_.rows).sum
+      val staged =
+        if (files.isEmpty) next.limit(0)
+        else spark.read.schema(next.schema).parquet(files.map(_.path): _*)
       // probe against the CURRENT durable generation before replacing it
       // (same count-carry + one-sided anti-join proof as componentsStar)
       converged = nextCount == edgeCount &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+        staged.join(edges, Seq("u", "v"), "left_anti").isEmpty
       round += 1
-      SnapTable.overwrite(next, stateRoot,
-        summary = starSummary(round, nextCount, converged))
-      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(next)
+      SnapTable.publish(spark, stateRoot, "overwrite", next.schema.toDDL,
+        files, summary = starSummary(round, nextCount, converged))
       edges = SnapTable.scan(spark, stateRoot)
       edgeCount = nextCount
       executed += 1
@@ -788,6 +838,39 @@ object Dedup {
     val comp = algo(pairs, aCol, bCol)
     docs.select(col(idCol).as("id"))
       .join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("comp"))
+      .withColumn("keeper", col("comp") === col(idCol))
+  }
+
+  /**
+   * [[nearDupKeepers]] over the COLLAPSED pair form — byte-identical output,
+   * computed without ever expanding the representative pair set to the full
+   * k(k-1)/2 within-group pairs: the component labeler runs on the
+   * representative graph only and each document inherits its
+   * representative's label through one join of the (rid, oid) member map.
+   *
+   * Equivalence to `nearDupKeepers(docs, idCol, minhashLshPairs(...))`,
+   * relying on two invariants: (a) a representative is the MIN id of its
+   * exact-duplicate group ([[minhashLshPairsCollapsed]]'s `min(__oid)`), and
+   * (b) every labeler emits comp = min id of the component. An expanded
+   * component is the union of the member groups of one representative
+   * component, so its min id = min over its groups' mins = min over its
+   * representatives = the representative component's label; a group whose
+   * rep sits in no rep pair is either a pure exact-dup clique (expanded
+   * comp = its rep — `coalesce(comp, __rid)` below) or a singleton (comp =
+   * its own id = its rep). Pinned exhaustively against the expanded form in
+   * DedupSpec.
+   */
+  def nearDupKeepersCollapsed(docs: DataFrame, idCol: String,
+      repPairs: DataFrame, members: DataFrame,
+      algo: (DataFrame, String, String) => DataFrame =
+        components(_, _, _)): DataFrame = {
+    val repComp = algo(repPairs, "id_a", "id_b")
+    val full = members
+      .join(repComp.withColumnRenamed("id", "__rid"), Seq("__rid"), "left")
+      .select(col("__oid").as("id"), coalesce(col("comp"), col("__rid")).as("comp"))
+    docs.select(col(idCol).as("id"))
+      .join(full, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("comp"))
       .withColumn("keeper", col("comp") === col(idCol))
   }

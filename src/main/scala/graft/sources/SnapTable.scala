@@ -135,10 +135,18 @@ object SnapTable {
    * rewrite jobs) must pass `Some(V)`, or a concurrent append landing between
    * the read and the commit would be silently dropped by the overwrite.
    */
-  def commit(df: DataFrame, root: String, op: String,
-      statsCols: Seq[String] = Nil, summary: String = "",
-      expectedParent: Option[Int] = None): Int = {
-    require(op == "append" || op == "overwrite", s"bad op $op")
+  /**
+   * First half of a commit: write `df`'s data files into a commit-private
+   * directory and compute their per-file stats — NO manifest is published,
+   * so the files are invisible to readers (and to crash recovery) until
+   * [[publish]] lands. Iterative callers use the split to probe the staged
+   * generation (convergence checks) between materialization and publication
+   * instead of paying a separate localCheckpoint + count materialization;
+   * a crash between stage and publish leaves only an orphaned data dir,
+   * exactly like a crash inside [[commit]].
+   */
+  def stage(df: DataFrame, root: String,
+      statsCols: Seq[String] = Nil): Seq[FileEntry] = {
     val spark = df.sparkSession
     val dataDir = s"$root/data/${java.util.UUID.randomUUID().toString}"
     df.write.parquet(dataDir)
@@ -150,13 +158,29 @@ object SnapTable {
       max(col(c)).cast("string").as(s"__max_$c")))
     val perFile = back.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
-    val newFiles = perFile.map { r =>
+    perFile.map { r =>
       FileEntry(r.getString(0), r.getLong(1),
         statsCols.zipWithIndex.map { case (c, i) =>
           c -> ColStats(r.getString(2 + 2 * i), r.getString(3 + 2 * i))
         }.toMap)
     }.toSeq
-    val ddl = df.schema.toDDL
+  }
+
+  def commit(df: DataFrame, root: String, op: String,
+      statsCols: Seq[String] = Nil, summary: String = "",
+      expectedParent: Option[Int] = None): Int = {
+    require(op == "append" || op == "overwrite", s"bad op $op")
+    publish(df.sparkSession, root, op, df.schema.toDDL,
+      stage(df, root, statsCols), summary, expectedParent)
+  }
+
+  /** Second half of a commit: publish a manifest over files previously
+    * written by [[stage]]. Same atomic create-if-absent race protocol as
+    * [[commit]] (which is now stage + publish). */
+  def publish(spark: SparkSession, root: String, op: String, ddl: String,
+      newFiles: Seq[FileEntry], summary: String = "",
+      expectedParent: Option[Int] = None): Int = {
+    require(op == "append" || op == "overwrite", s"bad op $op")
     var attempt = 0
     while (attempt < 50) {
       val parent = currentVersion(spark, root).getOrElse(0)
